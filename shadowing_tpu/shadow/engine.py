@@ -1,0 +1,460 @@
+"""Path shadowing engine: fused embed → score → exact top-k → extract.
+
+TPU-native rebuild of the reference's ``PathShadowing``
+(``/root/reference/shadowing/path_shadowing/path_shadowing.py:61-301``),
+redesigned around the hardware rather than translated:
+
+* **One MXU pass per search.** Every sliding window of every trajectory is
+  scored against each context through the quadratic expansion
+  ``‖h(x) - h(y_t)‖² = ‖h(x)‖² - 2⟨h(x), h(y_t)⟩ + ‖h(y_t)‖²``. The window
+  norms ``‖h(y_t)‖²`` are context-independent — computed once per
+  (dataset, embedding, context) and cached on device. The cross term for all
+  contexts is a single convolution of the raw trajectories with the
+  *combined* filters ``g_b = Σ_d h(x_b)[d] · kernel_d`` — ``w``-wide filters,
+  ``B`` output channels — so the per-call FLOPs are ``O(B · R · T · w)``
+  instead of the reference's ``O(R · T · w · d)`` re-embedding plus
+  ``O(B · R · T · d)`` broadcast distance on every call.
+* **Exact selection at bandwidth speed.** Per-context k-smallest uses the
+  block-min tournament of :mod:`shadowing_tpu.ops.topk` (certified exact,
+  sort fallback on the rare uncertified case) instead of a ~full sort.
+* **Exact reported distances.** Winners are re-embedded and re-scored
+  directly (`PathDistance.forward`) at highest precision, so returned
+  distances match the direct definition with no expansion round-off.
+* **Streaming, statically-shaped.** The dataset axis is processed in
+  equal-size chunks under ``lax.scan`` with an exact running-k merge — the
+  reference's ``n_splits`` memory knob (``path_shadowing.py:147-173``), but
+  jit-compiled and autosized from a memory budget.
+
+``method="direct"`` keeps a literal (chunked broadcast-difference) oracle for
+parity testing; ``method="fused"`` is the production path; the default
+``"auto"`` picks fused whenever the distance supports expansion.
+"""
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadowing_tpu.array_types import Array, as_jax_f32, as_numpy, dim_bct
+from shadowing_tpu.data.dataset import TimeSeriesDataset
+from shadowing_tpu.ops import topk as topk_ops
+from shadowing_tpu.shadow.context import ContextManager, PredictionContext
+from shadowing_tpu.shadow.distance import PathDistance
+from shadowing_tpu.shadow.embedding import PathEmbedding
+from shadowing_tpu.stats.proba import DiscreteProba, Softmax, Uniform
+
+_DN = ("NCH", "OIH", "NCH")
+#: memory budget for intermediate score/embedding tensors (bytes)
+MEMORY_BUDGET = 4 << 30
+#: contraction precision for selection scores (3-pass bf16 ≈ f32)
+PRECISION_SELECT = jax.lax.Precision.HIGH
+#: contraction precision for exact rescoring / direct oracle
+PRECISION_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _conv(x: jax.Array, kernel: jax.Array, precision) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding="VALID",
+        dimension_numbers=_DN, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pad_rows(y: jax.Array, n_splits: int) -> tuple[jax.Array, int]:
+    """Pad the trajectory axis to a multiple of ``n_splits`` chunks."""
+    R = y.shape[0]
+    chunk = -(-R // n_splits)
+    pad = chunk * n_splits - R
+    if pad:
+        y = jnp.concatenate([y, jnp.zeros((pad,) + y.shape[1:], y.dtype)])
+    return y, chunk
+
+
+# --------------------------------------------------------------------------
+# window norms ‖h(y_t)‖² — context-independent, cached per engine
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_out", "n_splits", "identity_fast"))
+def _window_norms(
+    y: jax.Array,            # (R, C, T)
+    kernel: jax.Array,       # (d, C, Kw)
+    n_out: int,
+    n_splits: int,
+    identity_fast: bool,
+) -> jax.Array:              # (R, n_out)
+    R = y.shape[0]
+    y, chunk = _pad_rows(y, n_splits)
+    w = kernel.shape[-1]
+
+    if identity_fast:
+        ones = jnp.ones((1, y.shape[1], w), jnp.float32)
+
+        def body(_, y_c):
+            n = _conv(y_c * y_c, ones, PRECISION_SELECT)[:, 0, :n_out]
+            return None, n
+    else:
+
+        def body(_, y_c):
+            e = _conv(y_c, kernel, PRECISION_SELECT)[..., :n_out]  # (r, d, T')
+            return None, (e * e).sum(axis=1)
+
+    _, norms = jax.lax.scan(body, None, y.reshape(n_splits, chunk, *y.shape[1:]))
+    return norms.reshape(-1, n_out)[:R]
+
+
+# --------------------------------------------------------------------------
+# fused search: combined-filter cross term + tournament top-k, scanned
+# --------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "n_out", "n_splits", "distance", "block", "cap"),
+)
+def _fused_search(
+    y: jax.Array,            # (R, C, T)
+    norms: jax.Array,        # (R, n_out)
+    g: jax.Array,            # (B, C, Kw) combined filters
+    x_norm2: jax.Array,      # (B,)
+    k: int,
+    n_out: int,
+    n_splits: int,
+    distance: PathDistance,
+    block: int = 128,
+    cap: Optional[int] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Return (scores (B, k) ascending, flat indices (B, k), ok (B,))."""
+    R = y.shape[0]
+    B = g.shape[0]
+    y, chunk = _pad_rows(y, n_splits)
+    norms_p = jnp.concatenate(
+        [norms, jnp.full((y.shape[0] - R, n_out), jnp.inf, norms.dtype)]
+    ) if y.shape[0] != R else norms
+
+    y_chunks = y.reshape(n_splits, chunk, *y.shape[1:])
+    n_chunks = norms_p.reshape(n_splits, chunk, n_out)
+    starts = jnp.arange(n_splits, dtype=jnp.int32) * chunk
+
+    select = jax.vmap(lambda s: topk_ops.topk_min(s, k, block, cap))
+
+    def body(carry, inp):
+        d_run, i_run, ok_run = carry
+        y_c, nrm_c, start = inp
+        cross = _conv(y_c, g, PRECISION_SELECT)[..., :n_out]   # (r, B, T')
+        cross = jnp.moveaxis(cross, 1, 0)                      # (B, r, T')
+        s = distance.score(x_norm2[:, None, None], cross, nrm_c[None])
+        valid = (start + jnp.arange(chunk, dtype=jnp.int32)) < R
+        s = jnp.where(valid[None, :, None], s, jnp.inf).reshape(B, -1)
+        vals, idx, ok = select(s)
+        idx = idx + start * n_out
+        d_run, i_run = topk_ops.merge_min(d_run, i_run, vals, idx, k)
+        return (d_run, i_run, ok_run & ok), None
+
+    init = (
+        jnp.full((B, k), jnp.inf, jnp.float32),
+        jnp.full((B, k), jnp.iinfo(jnp.int32).max, jnp.int32),
+        jnp.ones((B,), bool),
+    )
+    (d_run, i_run, ok), _ = jax.lax.scan(body, init, (y_chunks, n_chunks, starts))
+    return d_run, i_run, ok
+
+
+@partial(jax.jit, static_argnames=("k", "n_out", "n_splits", "distance"))
+def _direct_search(
+    y: jax.Array,            # (R, C, T)
+    x_emb: jax.Array,        # (B, d)
+    kernel: jax.Array,       # (d, C, Kw)
+    k: int,
+    n_out: int,
+    n_splits: int,
+    distance: PathDistance,
+) -> tuple[jax.Array, jax.Array]:
+    """Literal oracle: embed every window, broadcast the distance, sort-exact
+    top-k — the reference algorithm (``path_shadowing.py:147-173``) in XLA."""
+    R = y.shape[0]
+    B = x_emb.shape[0]
+    y, chunk = _pad_rows(y, n_splits)
+    y_chunks = y.reshape(n_splits, chunk, *y.shape[1:])
+    starts = jnp.arange(n_splits, dtype=jnp.int32) * chunk
+
+    def body(carry, inp):
+        d_run, i_run = carry
+        y_c, start = inp
+        e = _conv(y_c, kernel, PRECISION_EXACT)[..., :n_out]   # (r, d, T')
+        e = jnp.moveaxis(e, 1, 2)                              # (r, T', d)
+        d = distance.forward(x_emb[:, None, None, :], e[None])  # (B, r, T')
+        valid = (start + jnp.arange(chunk, dtype=jnp.int32)) < R
+        d = jnp.where(valid[None, :, None], d, jnp.inf).reshape(B, -1)
+        neg, idx = jax.lax.top_k(-d, k)
+        idx = idx.astype(jnp.int32) + start * n_out
+        d_run, i_run = topk_ops.merge_min(d_run, i_run, -neg, idx, k)
+        return (d_run, i_run), None
+
+    init = (
+        jnp.full((B, k), jnp.inf, jnp.float32),
+        jnp.full((B, k), jnp.iinfo(jnp.int32).max, jnp.int32),
+    )
+    (d_run, i_run), _ = jax.lax.scan(body, init, (y_chunks, starts))
+    return d_run, i_run
+
+
+# --------------------------------------------------------------------------
+# extraction + exact rescore
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_out", "w_extract"))
+def _extract_paths(
+    y: jax.Array,            # (R, C, T)
+    flat_idx: jax.Array,     # (B, k) = traj * n_out + t
+    n_out: int,
+    w_extract: int,
+) -> tuple[jax.Array, jax.Array]:
+    R, C, T = y.shape
+    traj = flat_idx // n_out
+    t0 = flat_idx % n_out
+    locators = traj * T + t0                                   # (B, k)
+    flat = jnp.moveaxis(y, 1, 0).reshape(C, R * T)
+    gather = flat[:, locators[..., None] + jnp.arange(w_extract)]
+    paths = jnp.moveaxis(gather, 0, 2)                         # (B, k, C, w)
+    idces = jnp.stack([traj, t0], axis=-1).astype(jnp.int32)
+    return paths, idces
+
+
+@partial(jax.jit, static_argnames=("distance",))
+def _exact_rescore(
+    x_emb: jax.Array,        # (B, d)
+    in_paths: jax.Array,     # (B, k, C, w)
+    kernel: jax.Array,       # (d, C, w) *unpadded* embedding kernel
+    distance: PathDistance,
+) -> jax.Array:
+    B, k, C, w = in_paths.shape
+    e = _conv(in_paths.reshape(B * k, C, w), kernel, PRECISION_EXACT)
+    e = e[:, :, 0].reshape(B, k, -1)                           # (B, k, d)
+    return distance.forward(x_emb[:, None, :], e)
+
+
+# --------------------------------------------------------------------------
+# engine
+# --------------------------------------------------------------------------
+
+class PathShadowing:
+    """Scan a generated dataset for paths shadowing an observed context.
+
+    :param embedding: dimensionality reduction of a path window
+    :param distance: distance between embedded windows
+    :param dataset: ``(R, C, T)`` array, directory of ``.npy`` shards, or
+        :class:`TimeSeriesDataset`
+    :param context: what is matched vs predicted
+        (default: :class:`PredictionContext` with no horizon)
+    """
+
+    def __init__(
+        self,
+        embedding: PathEmbedding,
+        distance: PathDistance,
+        dataset: Union[Array, Path, str, TimeSeriesDataset],
+        context: Optional[ContextManager] = None,
+    ):
+        if isinstance(dataset, (str, Path)):
+            dataset = TimeSeriesDataset(dpath=dataset, R=None)
+        if isinstance(dataset, TimeSeriesDataset):
+            dataset = dataset.load()
+        self.dataset = dataset
+        self.embedding = embedding
+        self.distance = distance
+        self.context = context or PredictionContext(horizon=None)
+
+        self._y: Optional[jax.Array] = None       # device dataset (R, C, T)
+        self._norms: Optional[jax.Array] = None   # cached window norms
+
+    # -- device state ----------------------------------------------------
+    @property
+    def y(self) -> jax.Array:
+        if self._y is None:
+            self._y = as_jax_f32(dim_bct(jnp.asarray(self.dataset)))
+        return self._y
+
+    def _plan(self) -> tuple[np.ndarray, int]:
+        T = dim_bct(self.dataset).shape[-1]
+        return self.context.conv_plan(self.embedding.kernel, T)
+
+    def _auto_splits(self, B: int, n_out: int, d: int) -> int:
+        R = self.y.shape[0]
+        per_row = n_out * (d + 2 * B) * 4  # scores + cross + embeddings
+        total = R * per_row
+        return max(1, -(-total // MEMORY_BUDGET))
+
+    def window_norms(self, n_splits: Optional[int] = None) -> jax.Array:
+        """``‖h(y_t)‖²`` for every window — cached per engine instance."""
+        if self._norms is None:
+            kernel, n_out = self._plan()
+            if n_splits is None:
+                n_splits = self._auto_splits(1, n_out, self.embedding.dim)
+            self._norms = _window_norms(
+                self.y, jnp.asarray(kernel), n_out=n_out, n_splits=n_splits,
+                identity_fast=bool(
+                    self.embedding.is_identity and self.y.shape[1] == 1
+                ),
+            )
+        return self._norms
+
+    # -- search ------------------------------------------------------------
+    def shadow(
+        self,
+        x_context: Array,
+        k: int = 1,
+        n_splits: Optional[int] = None,
+        method: str = "auto",
+        cuda: Optional[bool] = None,  # accepted for API parity; placement is JAX's
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Find the ``k`` dataset windows closest to each context.
+
+        :param x_context: ``(B, C, w)`` contexts (1-d/2-d coerced)
+        :param k: number of closest paths to keep
+        :param n_splits: dataset chunks (``None``: sized from memory budget)
+        :param method: ``"fused"`` (expanded scores + exact rescore),
+            ``"direct"`` (literal oracle), or ``"auto"``
+        :return: distances ``(B, k)`` ascending, paths
+            ``(B, k, C, w + out_times)``, indices ``(B, k, 2)`` as
+            ``(trajectory, window start)``
+        """
+        del cuda
+        x_context = dim_bct(np.asarray(x_context, dtype=np.float32))
+        if x_context.shape[-1] != self.embedding.width:
+            raise ValueError(
+                f"context length {x_context.shape[-1]} must equal the "
+                f"embedding width {self.embedding.width}"
+            )
+        kernel, n_out = self._plan()
+        B = x_context.shape[0]
+        d = self.embedding.dim
+        n_candidates = self.y.shape[0] * n_out
+        if not 1 <= k <= n_candidates:
+            raise ValueError(
+                f"k={k} must be in [1, {n_candidates}] "
+                f"(= R * valid window starts)"
+            )
+        if method == "auto":
+            method = "fused" if self.distance.supports_expansion else "direct"
+        if n_splits is None:
+            n_splits = self._auto_splits(B, n_out, d)
+
+        y = self.y
+        if y.shape[0] * n_out >= np.iinfo(np.int32).max:
+            raise ValueError(
+                "R * n_out exceeds int32 — shard the dataset over a mesh "
+                "(see shadowing_tpu.parallel)"
+            )
+        kernel_dev = jnp.asarray(kernel)
+        x_emb = self.embedding.embed_context(x_context)        # (B, d)
+
+        if method == "fused":
+            x_norm2 = (x_emb * x_emb).sum(axis=-1)
+            # combined filters: g_b = sum_d x_emb[b, d] * kernel_d
+            g = jnp.einsum("bd,dcw->bcw", x_emb, kernel_dev,
+                           precision=PRECISION_SELECT)
+            _, flat_idx, ok = _fused_search(
+                y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
+                n_splits=n_splits, distance=self.distance,
+            )
+            ok_host = np.asarray(ok)
+            if not ok_host.all():
+                # certification failed for some contexts (pathological score
+                # clustering): redo those with the sort-exact oracle
+                redo = np.nonzero(~ok_host)[0]
+                _, idx_exact = _direct_search(
+                    y, x_emb[redo], kernel_dev, k=k, n_out=n_out,
+                    n_splits=n_splits, distance=self.distance,
+                )
+                flat_idx = np.asarray(flat_idx)
+                flat_idx[redo] = np.asarray(idx_exact)
+                flat_idx = jnp.asarray(flat_idx)
+        elif method == "direct":
+            _, flat_idx = _direct_search(
+                y, x_emb, kernel_dev, k=k, n_out=n_out, n_splits=n_splits,
+                distance=self.distance,
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+        w_extract = x_context.shape[-1] + self.context.get_out_times()
+        paths, idces = _extract_paths(y, flat_idx, n_out=n_out, w_extract=w_extract)
+
+        # exact distances on the winners (direct definition, highest precision)
+        in_paths = self.context.select_in_context(paths)
+        dists = _exact_rescore(
+            x_emb, in_paths, jnp.asarray(self.embedding.kernel),
+            distance=self.distance,
+        )
+        order = jnp.argsort(dists, axis=-1)
+        dists = jnp.take_along_axis(dists, order, axis=-1)
+        paths = jnp.take_along_axis(paths, order[..., None, None], axis=1)
+        idces = jnp.take_along_axis(idces, order[..., None], axis=1)
+
+        return as_numpy(dists), as_numpy(paths), as_numpy(idces)
+
+    # -- prediction --------------------------------------------------------
+    @staticmethod
+    def init_averaging_proba(
+        proba_name: str, distances: Array, eta: Optional[float]
+    ) -> DiscreteProba:
+        if proba_name == "uniform":
+            return Uniform()
+        if proba_name == "softmax":
+            return Softmax(distances, eta)
+        raise ValueError(f"unrecognized averaging proba {proba_name!r}")
+
+    def predict_from_paths(
+        self,
+        distances: Array,
+        paths: Array,
+        to_predict: Callable[[Array], Array],
+        proba_name: str = "softmax",
+        eta: Optional[float] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Aggregate a functional of the out-context over shadowing paths.
+
+        Unlike the reference (``path_shadowing.py:251-252``) the functional is
+        evaluated once, not twice.
+        """
+        out = self.context.select_out_context(jnp.asarray(paths))
+        proba = self.init_averaging_proba(
+            proba_name, jnp.asarray(distances)[:, :, None], eta
+        )
+        values = jnp.asarray(to_predict(out))
+        return (
+            as_numpy(proba.avg(values, axis=1)),
+            as_numpy(proba.std(values, axis=1)),
+        )
+
+    def predict(
+        self,
+        x_context: Array,
+        k: int,
+        to_predict: Callable[[Array], Array],
+        eta: Optional[float] = None,
+        proba_name: str = "softmax",
+        n_dataset_splits: Optional[int] = None,
+        n_context_splits: int = 1,
+        method: str = "auto",
+        cuda: Optional[bool] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Shadow then aggregate: the full prediction pipeline
+        (reference ``path_shadowing.py:256-301``)."""
+        del cuda
+        x_context = dim_bct(np.asarray(x_context, dtype=np.float32))
+        B = x_context.shape[0]
+        chunk = -(-B // n_context_splits)
+
+        preds, stds = [], []
+        for s in range(0, B, chunk):
+            d, p, _ = self.shadow(
+                x_context[s : s + chunk], k, n_dataset_splits, method
+            )
+            a, b = self.predict_from_paths(d, p, to_predict, proba_name, eta)
+            preds.append(a)
+            stds.append(b)
+        return np.concatenate(preds), np.concatenate(stds)

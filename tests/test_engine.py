@@ -1,0 +1,229 @@
+"""Shadow engine: fused vs direct vs an independent numpy oracle.
+
+The oracle implements the mathematical definition of the search from first
+principles (explicit per-window dot products in float64) — it is the
+specification, not a port.
+"""
+import numpy as np
+import pytest
+
+from shadowing_tpu import (
+    CrossChannelContext,
+    Foveal,
+    Identity,
+    ImputationContext,
+    PathShadowing,
+    PredictionContext,
+    RelativeMSE,
+    Softmax,
+    realized_variance,
+)
+
+
+def oracle_search(x_context, dataset, kernel, n_out, k, return_full=False):
+    """k smallest RelativeMSE distances, float64, brute force.
+
+    x_context: (B, C, w); dataset: (R, C, T); kernel: (d, C, w).
+    Returns distances (B, k), flat indices (B, k) with flat = r * n_out + t.
+    """
+    x_context = x_context.astype(np.float64)
+    dataset = dataset.astype(np.float64)
+    kernel = kernel.astype(np.float64)
+    B = x_context.shape[0]
+    R, C, T = dataset.shape
+    w = kernel.shape[-1]
+
+    xe = np.einsum("bcw,dcw->bd", x_context, kernel)
+    E = np.stack(
+        [np.einsum("rct,dct->rd", dataset[:, :, t : t + w], kernel)
+         for t in range(n_out)],
+        axis=1,
+    )  # (R, n_out, d)
+    diff = xe[:, None, None, :] - E[None]
+    dist = np.linalg.norm(diff, axis=-1) / np.linalg.norm(xe, axis=-1)[:, None, None]
+    flat = dist.reshape(B, -1)
+    idx = np.argsort(flat, axis=1, kind="stable")[:, :k]
+    top = np.take_along_axis(flat, idx, axis=1)
+    if return_full:
+        return top, idx, flat
+    return top, idx
+
+
+@pytest.fixture()
+def small_problem(rng):
+    dataset = rng.normal(0, 0.02, size=(32, 1, 256)).astype(np.float32)
+    x_context = rng.normal(0, 0.02, size=(4, 1, 24)).astype(np.float32)
+    return dataset, x_context
+
+
+class TestShadowCore:
+    @pytest.mark.parametrize("method", ["fused", "direct"])
+    def test_matches_oracle(self, small_problem, method):
+        dataset, x_context = small_problem
+        horizon = 16
+        emb = Identity(24)
+        obj = PathShadowing(emb, RelativeMSE(), dataset,
+                            PredictionContext(horizon=horizon))
+        k = 50
+        d, paths, idces = obj.shadow(x_context, k=k, n_splits=1, method=method)
+
+        n_out = 256 - 24 - horizon + 1
+        ed, ei, full = oracle_search(
+            x_context, dataset, emb.kernel, n_out, k, return_full=True
+        )
+        flat = idces[..., 0].astype(np.int64) * n_out + idces[..., 1]
+        # distances must match the float64 oracle rank-for-rank
+        np.testing.assert_allclose(d, ed, rtol=2e-5)
+        # each returned index must hold the oracle distance of its rank —
+        # exact index equality is only ambiguous at float64 near-ties, which
+        # no f32 computation can resolve
+        oracle_at_returned = np.take_along_axis(full, flat, axis=1)
+        np.testing.assert_allclose(oracle_at_returned, ed, rtol=2e-5)
+        # and the vast majority of indices agree outright
+        assert (flat == ei).mean() > 0.8
+        assert paths.shape == (4, k, 1, 24 + horizon)
+
+    def test_foveal_fused_equals_direct(self, rng):
+        dataset = rng.normal(0, 0.02, size=(64, 1, 512)).astype(np.float32)
+        x_context = rng.normal(0, 0.02, size=(2, 1, 126)).astype(np.float32)
+        emb = Foveal(alpha=1.15, beta=0.9, max_context=126)
+        ctx = PredictionContext(horizon=64)
+        k = 32
+        obj_f = PathShadowing(emb, RelativeMSE(), dataset, ctx)
+        obj_d = PathShadowing(emb, RelativeMSE(), dataset, ctx)
+        df, pf, i_f = obj_f.shadow(x_context, k=k, method="fused")
+        dd, pd_, i_d = obj_d.shadow(x_context, k=k, method="direct")
+        np.testing.assert_array_equal(i_f, i_d)
+        np.testing.assert_allclose(df, dd, rtol=1e-6)
+        np.testing.assert_allclose(pf, pd_, rtol=1e-6)
+
+    def test_split_invariance(self, small_problem):
+        """Reference testing.ipynb cell-1 property at engine level: any
+        n_splits gives identical results."""
+        dataset, x_context = small_problem
+        emb = Identity(24)
+        obj = PathShadowing(emb, RelativeMSE(), dataset,
+                            PredictionContext(horizon=8))
+        d1, p1, i1 = obj.shadow(x_context, k=20, n_splits=1)
+        d4, p4, i4 = obj.shadow(x_context, k=20, n_splits=4)
+        d5, p5, i5 = obj.shadow(x_context, k=20, n_splits=5)  # uneven chunks
+        np.testing.assert_array_equal(i1, i4)
+        np.testing.assert_array_equal(i1, i5)
+        np.testing.assert_array_equal(d1, d4)
+        np.testing.assert_array_equal(d1, d5)
+
+    def test_roundtrip_distances(self, small_problem):
+        """Reference testing.ipynb cell-2 property: re-embedding the returned
+        paths' in-context part reproduces the returned distances."""
+        dataset, x_context = small_problem
+        horizon = 16
+        emb = Identity(24)
+        dist = RelativeMSE()
+        obj = PathShadowing(emb, dist, dataset, PredictionContext(horizon))
+        d, paths, _ = obj.shadow(x_context, k=64)
+
+        past = obj.context.select_in_context(paths)  # (B, k, C, w)
+        e = np.einsum("bkcw,dcw->bkd", past.astype(np.float64),
+                      emb.kernel.astype(np.float64))
+        xe = np.einsum("bcw,dcw->bd", x_context.astype(np.float64),
+                       emb.kernel.astype(np.float64))
+        dd = np.linalg.norm(xe[:, None] - e, axis=-1) / np.linalg.norm(
+            xe, axis=-1, keepdims=True
+        )
+        np.testing.assert_allclose(d, dd, rtol=2e-5)
+
+    def test_paths_are_dataset_slices(self, small_problem):
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        _, paths, idces = obj.shadow(x_context, k=8)
+        for b in range(x_context.shape[0]):
+            for j in range(8):
+                r, t = idces[b, j]
+                np.testing.assert_array_equal(
+                    paths[b, j], dataset[r, :, t : t + 40]
+                )
+
+    def test_horizon_respects_boundaries(self, small_problem):
+        dataset, x_context = small_problem
+        horizon = 100
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon))
+        _, _, idces = obj.shadow(x_context, k=16)
+        assert (idces[..., 1] + 24 + horizon <= 256).all()
+
+
+class TestContexts:
+    def test_imputation(self, rng):
+        dataset = rng.normal(0, 1, size=(16, 1, 128)).astype(np.float32)
+        ctx = ImputationContext((8, 6, 8))
+        x_context = rng.normal(0, 1, size=(2, 1, 16)).astype(np.float32)
+        obj = PathShadowing(Identity(16), RelativeMSE(), dataset, ctx)
+        d, paths, idces = obj.shadow(x_context, k=8)
+        assert paths.shape == (2, 8, 1, 22)
+        # in-context = flanks: distances recompute from the flanks
+        past = ctx.select_in_context(paths)
+        assert past.shape == (2, 8, 1, 16)
+        dd = np.linalg.norm(
+            x_context[:, None] - past, axis=(-2, -1)
+        ) / np.linalg.norm(x_context, axis=(-2, -1))[:, None]
+        np.testing.assert_allclose(d, dd, rtol=2e-5)
+        # out-context = the middle gap, a contiguous dataset slice
+        out = ctx.select_out_context(paths)
+        assert out.shape == (2, 8, 1, 6)
+        r, t = idces[0, 0]
+        np.testing.assert_array_equal(out[0, 0, 0], dataset[r, 0, t + 8 : t + 14])
+
+    def test_cross_channel(self, rng):
+        dataset = rng.normal(0, 1, size=(16, 2, 64)).astype(np.float32)
+        ctx = CrossChannelContext(out_context_channels=1)
+        x_context = rng.normal(0, 1, size=(1, 1, 12)).astype(np.float32)
+        kernel = np.eye(12, dtype=np.float32)[:, None, :]  # embed channel 0
+        from shadowing_tpu import PathEmbedding
+
+        obj = PathShadowing(PathEmbedding(kernel), RelativeMSE(), dataset, ctx)
+        d, paths, _ = obj.shadow(x_context, k=4)
+        assert paths.shape == (1, 4, 2, 12)
+        # distance must only involve channel 0
+        past = ctx.select_in_context(paths)  # (1, 4, 1, 12)
+        dd = np.linalg.norm(
+            x_context[:, None] - past, axis=(-2, -1)
+        ) / np.linalg.norm(x_context, axis=(-2, -1))[:, None]
+        np.testing.assert_allclose(d, dd, rtol=2e-5)
+
+
+class TestPredict:
+    def test_predict_matches_manual_softmax(self, small_problem):
+        dataset, x_context = small_problem
+        horizon = 16
+        Ts = [4, 8, 16]
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon))
+        to_predict = lambda x: realized_variance(x[:, :, 0, :], Ts=Ts, vol=False)
+        k, eta = 32, 0.5
+        pred, pred_std = obj.predict(x_context, k=k, to_predict=to_predict,
+                                     eta=eta)
+        assert pred.shape == (4, len(Ts))
+
+        d, paths, _ = obj.shadow(x_context, k=k)
+        fut = paths[:, :, 0, -horizon:]
+        rv = np.stack([(fut[..., :T] ** 2).mean(-1) * 252 for T in Ts], -1)
+        wgt = np.exp(-0.5 * (d / eta) ** 2)
+        wgt = wgt / wgt.sum(1, keepdims=True)
+        manual = (wgt[..., None] * rv).sum(1)
+        np.testing.assert_allclose(pred, manual, rtol=1e-4)
+        manual_std = np.sqrt(
+            np.maximum((wgt[..., None] * rv**2).sum(1) - manual**2, 0)
+        )
+        np.testing.assert_allclose(pred_std, manual_std, rtol=1e-3, atol=1e-8)
+
+    def test_context_splits_consistent(self, small_problem):
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(8))
+        f = lambda x: realized_variance(x[:, :, 0, :], Ts=[4], vol=True)
+        p1, s1 = obj.predict(x_context, k=16, to_predict=f, eta=0.3)
+        p2, s2 = obj.predict(x_context, k=16, to_predict=f, eta=0.3,
+                             n_context_splits=4)
+        np.testing.assert_allclose(p1, p2, rtol=1e-6)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)

@@ -1,0 +1,102 @@
+"""Exact k-smallest selection: tournament vs sort oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadowing_tpu.ops.topk import (
+    merge_min,
+    topk_min,
+    topk_min_checked,
+    topk_min_sort,
+)
+
+
+def _oracle(x, k):
+    idx = np.argsort(x, kind="stable")[:k]
+    return x[idx], idx
+
+
+@pytest.mark.parametrize("n,k", [(1000, 10), (100_000, 512), (262_144, 1024)])
+def test_tournament_matches_sort(rng, n, k):
+    x = rng.normal(size=n).astype(np.float32)
+    v, i, ok = topk_min(jnp.asarray(x), k)
+    assert bool(ok)
+    ev, ei = _oracle(x, k)
+    np.testing.assert_array_equal(np.asarray(v), ev)
+    np.testing.assert_array_equal(np.sort(np.asarray(i)), np.sort(ei))
+    # values at returned indices are the returned values
+    np.testing.assert_array_equal(x[np.asarray(i)], np.asarray(v))
+
+
+def test_clustered_winners(rng):
+    """All winners in one block — the tournament must still certify."""
+    x = rng.uniform(1.0, 2.0, size=65536).astype(np.float32)
+    x[1000:1128] = rng.uniform(0.0, 0.1, size=128)
+    v, i, ok = topk_min(jnp.asarray(x), 128)
+    assert bool(ok)
+    ev, _ = _oracle(x, 128)
+    np.testing.assert_array_equal(np.asarray(v), ev)
+
+
+def test_adversarial_spread_falls_back_correctly(rng):
+    """Winners spread so that > cap blocks hold small values: the checked
+    variant must still be exact (via the cond fallback)."""
+    n, k = 1 << 16, 64
+    x = rng.uniform(1.0, 2.0, size=n).astype(np.float32)
+    # every block gets one tiny value -> far more candidate blocks than cap
+    block = 128
+    tiny_pos = np.arange(0, n, block)
+    x[tiny_pos] = rng.uniform(0.0, 0.01, size=len(tiny_pos)).astype(np.float32)
+    v, i, ok = topk_min_checked(jnp.asarray(x), k, block, 8)  # tiny cap
+    ev, _ = _oracle(x, k)
+    np.testing.assert_array_equal(np.asarray(v), ev)
+
+
+def test_small_n_uses_sort():
+    x = jnp.asarray(np.arange(32, dtype=np.float32)[::-1].copy())
+    v, i, ok = topk_min(x, 4)
+    np.testing.assert_array_equal(np.asarray(v), [0, 1, 2, 3])
+    assert bool(ok)
+
+
+def test_vmapped_tournament(rng):
+    x = rng.normal(size=(4, 100_000)).astype(np.float32)
+    v, i, ok = jax.vmap(lambda s: topk_min(s, 64))(jnp.asarray(x))
+    assert np.asarray(ok).all()
+    for b in range(4):
+        ev, _ = _oracle(x[b], 64)
+        np.testing.assert_array_equal(np.asarray(v[b]), ev)
+
+
+def test_merge_exact_and_stable(rng):
+    a = rng.normal(size=100).astype(np.float32)
+    b = rng.normal(size=100).astype(np.float32)
+    va, ia, _ = topk_min_sort(jnp.asarray(a), 16)
+    vb, ib, _ = topk_min_sort(jnp.asarray(b), 16)
+    vm, im = merge_min(va, ia, vb, ib + 100, 16)
+    ev, ei = _oracle(np.concatenate([a, b]), 16)
+    np.testing.assert_array_equal(np.asarray(vm), ev)
+    np.testing.assert_array_equal(np.asarray(im), ei)
+
+
+def test_split_invariance_of_chunked_selection(rng):
+    """The reference's testing.ipynb cell-1 property, lifted to these ops:
+    selecting per chunk then merging gives identical results for any
+    chunking, and results for k1 < k2 are prefix-consistent."""
+    x = rng.normal(size=4096).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    def chunked(k, n_splits):
+        c = 4096 // n_splits
+        v = jnp.full((k,), jnp.inf)
+        i = jnp.full((k,), np.iinfo(np.int32).max, jnp.int32)
+        for s in range(n_splits):
+            vv, ii, _ = topk_min_sort(xj[s * c : (s + 1) * c], k)
+            v, i = merge_min(v, i, vv, ii + s * c, k)
+        return np.asarray(v), np.asarray(i)
+
+    v1, i1 = chunked(32, 32)
+    v2, i2 = chunked(64, 64)
+    np.testing.assert_array_equal(v1, v2[:32])
+    np.testing.assert_array_equal(i1, i2[:32])
