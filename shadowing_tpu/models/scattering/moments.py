@@ -1,0 +1,202 @@
+"""Wavelet scattering-spectra statistics (arXiv:2204.10177).
+
+The statistic vector Phi(x) summarising a time series x through its wavelet
+transform W_j x and second-level transforms of the envelopes |W_j x|:
+
+* ``mean``                 <x>
+* ``variance``             Var(x)
+* ``power``     Phi_2(j) = <|W_j x|^2> / Var(x)                     (J real)
+* ``sparsity``  s(j)     = <|W_j x|>^2 / <|W_j x|^2>                (J real)
+* ``phase-env`` Phi_3(a,b) = <W_b(|W_a x|) conj(W_b x)> / (sig_a sig_b)
+                for a < b                              (J(J-1)/2 complex)
+* ``env-corr``  Phi_4(a,b,c) = <W_c(|W_a x|) conj(W_c(|W_b x|))>
+                / (sig_a sig_b), for a <= b < c        (~J^3/6 complex)
+
+with ``sig_j = sqrt(<|W_j x|^2>)``. Phi_3 captures sign/phase-envelope
+alignment (leverage, skewness); Phi_4 captures cross-scale envelope
+dependence (volatility clustering, multifractality). Gaussian white noise
+has Phi_3 = Phi_4 = 0 and sparsity pi/4 — properties the tests pin down.
+
+Everything is computed by batched FFTs under jit; the flattened vector is
+what the synthesis optimiser matches.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadowing_tpu.models.scattering.wavelets import FilterBank
+
+
+def _index_pairs(J: int) -> Tuple[np.ndarray, np.ndarray]:
+    a, b = np.triu_indices(J, k=1)
+    return a.astype(np.int32), b.astype(np.int32)
+
+
+def _index_triples(J: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    trip = [
+        (a, b, c)
+        for c in range(J)
+        for a in range(c)
+        for b in range(a, c)
+    ]
+    arr = np.asarray(trip, dtype=np.int32).reshape(-1, 3)
+    return arr[:, 0], arr[:, 1], arr[:, 2]
+
+
+def _pair_id(J: int) -> np.ndarray:
+    """Map (a, b) with a < b to its rank in the _index_pairs ordering."""
+    pid = np.full((J, J), -1, dtype=np.int32)
+    ia, ib = _index_pairs(J)
+    pid[ia, ib] = np.arange(len(ia), dtype=np.int32)
+    return pid
+
+
+def n_stats(J: int) -> int:
+    n_pairs = J * (J - 1) // 2
+    n_trip = len(_index_triples(J)[0])
+    return 2 + 2 * J + 2 * n_pairs + 2 * n_trip
+
+
+@partial(jax.jit, static_argnames=("J",))
+def _scattering_stats_flat(
+    x: jax.Array,          # (B, T) real series (log-returns)
+    psi_hat: jax.Array,    # (J, T)
+    J: int,
+) -> jax.Array:            # (B, n_stats) float32
+    B, T = x.shape
+    mean = x.mean(axis=-1)
+    xc = x - mean[:, None]
+    var = (xc**2).mean(axis=-1)
+
+    xf = jnp.fft.fft(xc, axis=-1)                       # (B, T) complex
+    w = jnp.fft.ifft(xf[:, None, :] * psi_hat[None], axis=-1)  # (B, J, T)
+    env = jnp.abs(w)                                    # (B, J, T)
+
+    p2 = (env**2).mean(axis=-1)                         # (B, J)
+    sig = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    power = p2 / jnp.maximum(var[:, None], 1e-30)
+    sparsity = env.mean(axis=-1) ** 2 / jnp.maximum(p2, 1e-30)
+
+    # second-level transforms of the centred envelopes — only the needed
+    # (a, b) pairs with a < b (all Phi_3 and Phi_4 terms reference these)
+    envc = env - env.mean(axis=-1, keepdims=True)
+    ef = jnp.fft.fft(envc, axis=-1)                     # (B, J, T)
+    ia, ib = _index_pairs(J)
+    we = jnp.fft.ifft(ef[:, ia, :] * psi_hat[ib][None], axis=-1)  # (B, P, T)
+
+    # Phi_3: <W_b(|W_a x|) conj(W_b x)> / (sig_a sig_b)
+    phi3 = (we * jnp.conj(w[:, ib, :])).mean(axis=-1)
+    phi3 = phi3 / (sig[:, ia] * sig[:, ib])
+
+    ta, tb, tc = _index_triples(J)
+    pid = jnp.asarray(_pair_id(J))
+    p_ac = pid[ta, tc]
+    p_bc = pid[tb, tc]
+    # Phi_4: <W_c(|W_a x|) conj(W_c(|W_b x|))> / (sig_a sig_b)
+    phi4 = (we[:, p_ac, :] * jnp.conj(we[:, p_bc, :])).mean(axis=-1)
+    phi4 = phi4 / (sig[:, ta] * sig[:, tb])
+
+    # mean as a t-statistic (O(1), comparable to the other stats)
+    norm_mean = mean * jnp.sqrt(jnp.float32(T)) / jnp.sqrt(jnp.maximum(var, 1e-30))
+
+    return jnp.concatenate(
+        [
+            norm_mean[:, None],
+            jnp.log(jnp.maximum(var[:, None], 1e-30)),
+            jnp.log(jnp.maximum(power, 1e-30)),
+            sparsity,
+            phi3.real,
+            phi3.imag,
+            phi4.real,
+            phi4.imag,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+
+
+@dataclass
+class ScatteringStats:
+    """Named view over the flat statistic vector (averaged over a batch)."""
+
+    J: int
+    flat: np.ndarray  # (n_stats,)
+
+    def _slices(self):
+        J = self.J
+        n_pairs = J * (J - 1) // 2
+        n_trip = len(_index_triples(J)[0])
+        ofs = {}
+        i = 0
+        for name, n in (
+            ("mean", 1), ("logvar", 1), ("logpower", J), ("sparsity", J),
+            ("phi3_re", n_pairs), ("phi3_im", n_pairs),
+            ("phi4_re", n_trip), ("phi4_im", n_trip),
+        ):
+            ofs[name] = slice(i, i + n)
+            i += n
+        return ofs
+
+    def _get(self, name):
+        return self.flat[self._slices()[name]]
+
+    #: series length used for the mean's t-statistic normalisation; set by
+    #: analyze() so .mean can invert it (None -> return the t-statistic)
+    T: int | None = None
+
+    @property
+    def mean(self) -> float:
+        t_stat = float(self._get("mean")[0])
+        if self.T is None:
+            return t_stat
+        return t_stat * np.sqrt(self.variance / self.T)
+
+    @property
+    def variance(self) -> float:
+        return float(np.exp(self._get("logvar")[0]))
+
+    def mean_spectrum(self) -> np.ndarray:
+        """Per-scale power Phi_2(j), unit-variance normalised."""
+        return np.exp(self._get("logpower"))
+
+    def sparsity(self) -> np.ndarray:
+        return np.asarray(self._get("sparsity"))
+
+    def phase_envelope(self) -> np.ndarray:
+        """Phi_3 as a (J, J) complex matrix (a rows, b cols; a < b)."""
+        J = self.J
+        out = np.zeros((J, J), dtype=np.complex128)
+        ia, ib = _index_pairs(J)
+        out[ia, ib] = self._get("phi3_re") + 1j * self._get("phi3_im")
+        return out
+
+    def envelope_correlation(self) -> np.ndarray:
+        """Phi_4 marginalised over the correlating scale c: (J, J) complex
+        matrix over (a, b)."""
+        J = self.J
+        out = np.zeros((J, J), dtype=np.complex128)
+        cnt = np.zeros((J, J))
+        ta, tb, tc = _index_triples(J)
+        vals = self._get("phi4_re") + 1j * self._get("phi4_im")
+        np.add.at(out, (ta, tb), vals)
+        np.add.at(cnt, (ta, tb), 1.0)
+        with np.errstate(invalid="ignore"):
+            out = np.where(cnt > 0, out / np.maximum(cnt, 1), 0.0)
+        return out
+
+
+def scattering_stats(
+    x: jax.Array, bank: FilterBank, average: bool = True
+) -> jax.Array:
+    """Flat statistic vector of ``x`` (``(B, T)`` or ``(T,)``).
+
+    :param average: average the per-sample vectors over the batch
+    """
+    x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+    flat = _scattering_stats_flat(x, jnp.asarray(bank.psi_hat), J=bank.J)
+    return flat.mean(axis=0) if average else flat

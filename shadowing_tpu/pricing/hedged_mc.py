@@ -1,0 +1,224 @@
+"""Hedged Monte Carlo option pricing (Potters, Bouchaud, Sestovic 2001).
+
+TPU-native replacement for the ``scatspectra.compute_smile`` surface used by
+the reference (``/root/reference/tutorial.ipynb`` cells 12-16,
+``testing.ipynb`` cell 7, ``README.md:102-125``): price options on a set of
+(shadowing) price paths by backward induction with quadratic hedging, then
+express prices as an implied-volatility smile over a rescaled-log-moneyness
+grid, optionally under a distance-weighted path measure (``Softmax``).
+
+Algorithm (arXiv:cond-mat/0008147): work on discounted prices
+``S~_t = e^{-r t dt} S_t`` and, for each maturity, regress backwards
+
+    C~_t(S_t), phi_t(S_t)  =  argmin E_w[ (C~_{t+1}(S_{t+1}) - C~_t(S_t)
+                                           - phi_t(S_t) (S~_{t+1} - S~_t))^2 ]
+
+with both functions expanded on a piecewise-linear hat basis over
+quantile-spaced knots of S_t. All strikes of a maturity share the design
+matrix, so each backward step is a single (2m x 2m) weighted normal-equation
+solve against an (N x n_strikes) target block — one MXU batch per step,
+scanned over time under jit.
+
+Strike grid: the reference plots smiles against "rescaled log-moneyness"
+``M`` on ``linspace(-2, 2, 9)``; strikes are
+``K = S0 exp(M sigma_T sqrt(tau))`` with ``sigma_T`` the (weighted) RMS
+realized volatility of the paths to maturity ``T`` — inferred from the Path
+Shadowing Monte Carlo paper (arXiv:2308.01486), which rescales moneyness by
+the typical vol-of-horizon; validated in tests by the Black-Scholes limit
+(GBM paths -> flat smile at the true vol for all M).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadowing_tpu.array_types import Array
+from shadowing_tpu.pricing.black_scholes import bs_implied_vol
+from shadowing_tpu.stats.proba import DiscreteProba
+from shadowing_tpu.stats.realized import ANNUALIZATION
+
+_RIDGE = 1e-9
+
+
+def _hat_basis(s: jax.Array, knots: jax.Array) -> jax.Array:
+    """Piecewise-linear hat functions with linear extrapolation tails.
+
+    :param s: (N,) evaluation points
+    :param knots: (m,) increasing knot positions
+    :return: (N, m) basis values (rows sum to 1 inside the knot range)
+    """
+    m = knots.shape[0]
+    s = jnp.clip(s, knots[0], knots[-1])  # constant extrapolation
+    idx = jnp.clip(jnp.searchsorted(knots, s, side="right") - 1, 0, m - 2)
+    left = knots[idx]
+    right = knots[idx + 1]
+    frac = (s - left) / jnp.maximum(right - left, 1e-12)
+    b = jnp.zeros((s.shape[0], m), s.dtype)
+    rows = jnp.arange(s.shape[0])
+    b = b.at[rows, idx].set(1.0 - frac)
+    b = b.at[rows, idx + 1].add(frac)
+    return b
+
+
+@partial(jax.jit, static_argnames=("n_basis",))
+def _hmc_prices(
+    paths: jax.Array,     # (N, T+1) raw prices, common S0
+    weights: jax.Array,   # (N,) path measure, sums to 1
+    strikes: jax.Array,   # (nK,)
+    discount: jax.Array,  # e^{-r dt}
+    n_basis: int,
+) -> jax.Array:           # (nK,) option prices at t=0
+    N, T1 = paths.shape
+    T = T1 - 1
+    disc_t = discount ** jnp.arange(T1)          # (T+1,)
+    s_tilde = paths * disc_t[None, :]            # discounted prices
+
+    # terminal condition: discounted call payoffs
+    payoff = jnp.maximum(paths[:, -1][:, None] - strikes[None, :], 0.0)
+    c_next = payoff * disc_t[-1]                 # (N, nK)
+
+    q = jnp.linspace(0.0, 1.0, n_basis)
+    w_sqrt = jnp.sqrt(weights)[:, None]
+
+    def backward(c_next, t):
+        s_t = paths[:, t]
+        ds = s_tilde[:, t + 1] - s_tilde[:, t]
+        knots = jnp.quantile(s_t, q)
+        # enforce strictly increasing knots (duplicates at t=0 or ties)
+        knots = knots + jnp.arange(n_basis) * 1e-6 * (knots[-1] - knots[0] + 1.0)
+        B = _hat_basis(s_t, knots)                            # (N, m)
+        A = jnp.concatenate([B, B * ds[:, None]], axis=1)     # (N, 2m)
+        Aw = A * w_sqrt
+        Yw = c_next * w_sqrt
+        gram = Aw.T @ Aw + _RIDGE * jnp.eye(2 * n_basis)
+        rhs = Aw.T @ Yw                                       # (2m, nK)
+        coef = jnp.linalg.solve(gram, rhs)
+        c_t = B @ coef[:n_basis]                              # (N, nK)
+        return c_t, None
+
+    # scan t = T-1 .. 1 (the t=0 step is degenerate: all S_0 equal)
+    c1, _ = jax.lax.scan(backward, c_next, jnp.arange(T - 1, 0, -1))
+
+    # final step: C_0 scalar and scalar hedge phi_0
+    ds0 = s_tilde[:, 1] - s_tilde[:, 0]
+    A0 = jnp.stack([jnp.ones(N), ds0], axis=1)                # (N, 2)
+    A0w = A0 * w_sqrt
+    gram0 = A0w.T @ A0w + _RIDGE * jnp.eye(2)
+    rhs0 = A0w.T @ (c1 * w_sqrt)
+    coef0 = jnp.linalg.solve(gram0, rhs0)                     # (2, nK)
+    return coef0[0]
+
+
+@dataclass
+class Smile:
+    """Implied-volatility smile over maturities x rescaled log-moneyness."""
+
+    Ts: np.ndarray                 # maturities, trading days
+    Ms: np.ndarray                 # rescaled log-moneyness grid
+    strikes: np.ndarray            # (nT, nM)
+    prices: np.ndarray             # (nT, nM) option prices
+    vols: np.ndarray               # (nT, nM) implied vols, annualised
+    sigma_ref: np.ndarray          # (nT,) vol used to rescale moneyness
+    spot: float
+    r: float = 0.0
+
+    def plot(self, ax=None, color=None, rescale: bool = True,
+             legend: bool = False):
+        """Plot one implied-vol line per maturity.
+
+        :param rescale: x-axis is the rescaled log-moneyness ``M`` if True,
+            raw log-moneyness ``ln(K/S0)`` otherwise
+        """
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        n = len(self.Ts)
+        for i, T in enumerate(self.Ts):
+            x = self.Ms if rescale else np.log(self.strikes[i] / self.spot)
+            alpha = 1.0 - 0.6 * i / max(n - 1, 1)
+            ax.plot(x, self.vols[i], marker="o", ms=3, color=color,
+                    alpha=alpha, label=rf"$T={int(T)}$")
+        ax.set_xlabel(r"$\mathcal{M}$" if rescale else r"$\ln(K/S_0)$")
+        ax.set_ylabel(r"implied vol")
+        if legend:
+            ax.legend(fontsize=8)
+        return ax
+
+
+def compute_smile(
+    x: Array,
+    Ts: Sequence[int],
+    Ms: Sequence[float],
+    r: float = 0.0,
+    ave: Optional[DiscreteProba] = None,
+    n_basis: int = 12,
+) -> Smile:
+    """Hedged-Monte-Carlo smile on a set of price paths.
+
+    :param x: ``(N, T+1)`` price paths with a common first price ``S0``
+        (e.g. ``PriceData(dlnx=futures, x_init=100.).x``)
+    :param Ts: option maturities in trading days (``max(Ts) <= T``)
+    :param Ms: rescaled log-moneyness grid
+    :param r: annualised interest rate
+    :param ave: optional path measure (e.g. ``Softmax`` of shadowing
+        distances); ``None`` = uniform
+    :param n_basis: hat-basis size for the per-step price/hedge regressions
+    """
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim != 2:
+        raise ValueError(f"paths must be (N, T+1), got {x.shape}")
+    s0 = float(x[0, 0])
+    if not np.allclose(x[:, 0], s0, rtol=1e-5):
+        raise ValueError("all paths must share the same initial price S0")
+    Ts = np.asarray(list(Ts), dtype=np.int64)
+    Ms = np.asarray(list(Ms), dtype=np.float64)
+    if Ts.max() > x.shape[1] - 1:
+        raise ValueError(
+            f"max maturity {Ts.max()} exceeds path length {x.shape[1] - 1}"
+        )
+
+    N = x.shape[0]
+    if ave is None:
+        w = jnp.full((N,), 1.0 / N)
+    else:
+        w = ave.weights_like(jnp.zeros((N,)), axis=0)
+        w = w / w.sum()
+
+    dt = 1.0 / ANNUALIZATION
+    discount = jnp.exp(jnp.asarray(-r * dt))
+    xj = jnp.asarray(x)
+    dlnx = jnp.diff(jnp.log(xj), axis=1)
+
+    strikes_all, prices_all, vols_all, sig_all = [], [], [], []
+    for T in Ts:
+        tau = T * dt
+        rv = (dlnx[:, :T] ** 2).sum(axis=1) / tau      # annualised variance
+        sigma_T = float(jnp.sqrt((w * rv).sum()))
+        strikes = s0 * np.exp(Ms * sigma_T * np.sqrt(tau))
+        prices = _hmc_prices(
+            xj[:, : T + 1], w, jnp.asarray(strikes, jnp.float32),
+            discount, n_basis=n_basis,
+        )
+        vols = bs_implied_vol(prices, s0, jnp.asarray(strikes, jnp.float32),
+                              tau, r)
+        strikes_all.append(strikes)
+        prices_all.append(np.asarray(prices))
+        vols_all.append(np.asarray(vols))
+        sig_all.append(sigma_T)
+
+    return Smile(
+        Ts=Ts,
+        Ms=Ms,
+        strikes=np.stack(strikes_all),
+        prices=np.stack(prices_all),
+        vols=np.stack(vols_all),
+        sigma_ref=np.asarray(sig_all),
+        spot=s0,
+        r=float(r),
+    )

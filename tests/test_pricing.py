@@ -1,0 +1,90 @@
+"""Hedged Monte Carlo: Black-Scholes limit, measures, smile object."""
+import numpy as np
+import pytest
+
+from shadowing_tpu import PriceData, Softmax, compute_smile
+from shadowing_tpu.pricing.black_scholes import bs_call_price, bs_implied_vol
+
+
+class TestBlackScholes:
+    def test_price_known_value(self):
+        # S=100, K=100, tau=1, sigma=0.2, r=0 -> C ~ 7.9656
+        c = float(bs_call_price(100.0, 100.0, 1.0, 0.2, 0.0))
+        assert c == pytest.approx(7.9656, abs=2e-3)
+
+    def test_implied_vol_roundtrip(self, rng):
+        # strikes kept where vega is meaningful — deep ITM/OTM short-dated
+        # options are numerically vol-insensitive by nature
+        spot = 100.0
+        strikes = np.linspace(85, 115, 13)
+        taus = np.array([0.1, 0.5, 1.0])[:, None]
+        sigma = 0.27
+        prices = np.asarray(bs_call_price(spot, strikes[None], taus, sigma, 0.01))
+        iv = np.asarray(bs_implied_vol(prices, spot, strikes[None], taus, 0.01))
+        np.testing.assert_allclose(iv, sigma, rtol=1e-3)
+
+
+def gbm_paths(rng, n, T, sigma, s0=100.0, r=0.0):
+    dt = 1 / 252
+    z = rng.standard_normal((n, T))
+    dlnx = (r - 0.5 * sigma**2) * dt + sigma * np.sqrt(dt) * z
+    return PriceData(dlnx=dlnx, x_init=s0).x
+
+
+class TestHedgedMC:
+    def test_flat_smile_on_gbm(self, rng):
+        """On geometric Brownian paths the smile must be flat at the true
+        vol for every maturity and moneyness (the PBS sanity check)."""
+        sigma = 0.2
+        x = gbm_paths(rng, 16384, 30, sigma)
+        smile = compute_smile(x, Ts=[5, 10, 25], Ms=np.linspace(-2, 2, 9))
+        assert smile.vols.shape == (3, 9)
+        np.testing.assert_allclose(smile.vols, sigma, rtol=0.05)
+        # ATM should be extremely tight (hedging kills the MC variance)
+        np.testing.assert_allclose(smile.vols[:, 4], sigma, rtol=0.02)
+
+    def test_interest_rate(self, rng):
+        sigma, r = 0.2, 0.03
+        x = gbm_paths(rng, 16384, 25, sigma, r=r)
+        smile = compute_smile(x, Ts=[25], Ms=[-1.0, 0.0, 1.0], r=r)
+        np.testing.assert_allclose(smile.vols[0], sigma, rtol=0.05)
+
+    def test_heavy_tails_produce_smile(self, rng):
+        """Student-t returns must produce convex vol-of-moneyness."""
+        dt = 1 / 252
+        t5 = rng.standard_t(4, size=(16384, 25))
+        t5 /= t5.std()
+        x = PriceData(dlnx=0.2 * np.sqrt(dt) * t5, x_init=100.0).x
+        smile = compute_smile(x, Ts=[25], Ms=np.linspace(-2, 2, 9))
+        v = smile.vols[0]
+        assert v[0] > v[4] * 1.02 and v[-1] > v[4] * 1.02
+
+    def test_weighted_measure(self, rng):
+        """A Softmax measure concentrated on low-vol paths must lower the
+        ATM implied vol vs uniform."""
+        sigma_lo, sigma_hi = 0.1, 0.4
+        x = np.concatenate(
+            [gbm_paths(rng, 4096, 20, sigma_lo), gbm_paths(rng, 4096, 20, sigma_hi)]
+        )
+        dists = np.concatenate([np.full(4096, 0.1), np.full(4096, 2.0)])
+        smile_w = compute_smile(x, Ts=[20], Ms=[0.0], ave=Softmax(dists, eta=0.3))
+        smile_u = compute_smile(x, Ts=[20], Ms=[0.0])
+        assert smile_w.vols[0, 0] < smile_u.vols[0, 0] * 0.7
+        assert smile_w.vols[0, 0] == pytest.approx(sigma_lo, rel=0.1)
+
+    def test_input_validation(self, rng):
+        x = gbm_paths(rng, 128, 10, 0.2)
+        with pytest.raises(ValueError):
+            compute_smile(x, Ts=[50], Ms=[0.0])  # maturity too long
+        with pytest.raises(ValueError):
+            # paths with differing initial prices
+            compute_smile(x * np.linspace(1, 2, 128)[:, None], Ts=[5], Ms=[0.0])
+
+    def test_plot_smoke(self, rng, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        x = gbm_paths(rng, 2048, 10, 0.2)
+        smile = compute_smile(x, Ts=[5, 10], Ms=np.linspace(-1, 1, 5))
+        ax = smile.plot(color="coral", rescale=True, legend=True)
+        assert len(ax.lines) == 2

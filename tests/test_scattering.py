@@ -1,0 +1,158 @@
+"""Scattering spectra: filter bank, statistics, synthesis convergence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadowing_tpu import analyze, generate
+from shadowing_tpu.models.scattering.moments import (
+    ScatteringStats,
+    n_stats,
+    scattering_stats,
+)
+from shadowing_tpu.models.scattering.synthesis import synthesize_batch
+from shadowing_tpu.models.scattering.wavelets import build_filter_bank
+
+
+class TestFilterBank:
+    def test_littlewood_paley(self):
+        bank = build_filter_bank(T=1024, J=6)
+        omega = 2 * np.pi * np.fft.fftfreq(1024)
+        lp = np.abs(bank.phi_hat) ** 2 + 0.5 * (np.abs(bank.psi_hat) ** 2).sum(0)
+        assert lp.max() <= 1.0 + 1e-6
+        # frame lower bound on the covered band (away from Nyquist)
+        pos = (omega > 2 * np.pi / 2**6) & (omega < 2.5)
+        assert lp[pos].min() > 0.35
+
+    def test_analytic_and_zero_mean(self):
+        bank = build_filter_bank(T=512, J=5)
+        omega = 2 * np.pi * np.fft.fftfreq(512)
+        assert np.abs(bank.psi_hat[:, omega < 0]).max() == 0.0
+        assert np.abs(bank.psi_hat[:, 0]).max() == 0.0  # no DC
+
+    def test_dyadic_centres(self):
+        bank = build_filter_bank(T=2048, J=6)
+        omega = 2 * np.pi * np.fft.fftfreq(2048)
+        centres = [omega[np.argmax(bank.psi_hat[j])] for j in range(6)]
+        ratios = np.array(centres[:-1]) / np.array(centres[1:])
+        np.testing.assert_allclose(ratios, 2.0, rtol=0.05)
+
+    def test_too_deep_raises(self):
+        with pytest.raises(ValueError):
+            build_filter_bank(T=128, J=9)
+
+
+class TestStats:
+    def test_vector_length(self):
+        bank = build_filter_bank(T=512, J=5)
+        x = np.random.default_rng(0).normal(size=(3, 512)).astype(np.float32)
+        s = scattering_stats(jnp.asarray(x), bank, average=False)
+        assert s.shape == (3, n_stats(5))
+
+    def test_gaussian_white_noise_baselines(self, rng):
+        """White noise: phi3 ~ 0, phi4 ~ 0, sparsity ~ pi/4 (complex
+        Gaussian envelope), mean t-stat ~ 0, logvar ~ 0 (standardised)."""
+        x = rng.normal(size=(64, 2048))
+        x = (x - x.mean(-1, keepdims=True)) / x.std(-1, keepdims=True)
+        bank = build_filter_bank(2048, 6)
+        flat = np.asarray(scattering_stats(jnp.asarray(x, jnp.float32), bank))
+        st = ScatteringStats(J=6, flat=flat)
+        assert abs(st.mean) < 0.2  # t-stat scale
+        assert abs(np.log(st.variance)) < 0.05
+        np.testing.assert_allclose(st.sparsity(), np.pi / 4, atol=0.05)
+        assert np.abs(st.phase_envelope()).max() < 0.1
+        assert np.abs(st.envelope_correlation()).max() < 0.1
+
+    def test_heavy_tails_lower_sparsity(self, rng):
+        gauss = rng.normal(size=(32, 2048))
+        heavy = rng.standard_t(3, size=(32, 2048))
+        bank = build_filter_bank(2048, 5)
+        s_g = ScatteringStats(5, np.asarray(
+            scattering_stats(jnp.asarray(gauss, jnp.float32), bank)))
+        s_h = ScatteringStats(5, np.asarray(
+            scattering_stats(jnp.asarray(heavy, jnp.float32), bank)))
+        # intermittent signals are sparser: lower <|W|>^2/<|W|^2>
+        assert (s_h.sparsity() < s_g.sparsity() - 0.03).all()
+
+    def test_leverage_breaks_phi3_symmetry(self):
+        """A series with sign-vol correlation (leverage) must produce a
+        clearly larger |phi3| than its sign-symmetric surrogate."""
+        rng = np.random.default_rng(3)
+        n, T = 32, 2048
+        eps = rng.normal(size=(n, T))
+        vol = np.ones((n, T))
+        for t in range(1, T):  # vol responds to negative past returns
+            vol[:, t] = 0.9 * vol[:, t - 1] + 0.4 * np.maximum(
+                -eps[:, t - 1], 0
+            ) + 0.1
+        lev = eps * vol
+        sym = rng.choice([-1, 1], size=(n, T)) * np.abs(lev)
+        bank = build_filter_bank(T, 5)
+        p3_lev = np.abs(ScatteringStats(5, np.asarray(scattering_stats(
+            jnp.asarray((lev - lev.mean()) / lev.std(), jnp.float32), bank
+        ))).phase_envelope()).max()
+        p3_sym = np.abs(ScatteringStats(5, np.asarray(scattering_stats(
+            jnp.asarray((sym - sym.mean()) / sym.std(), jnp.float32), bank
+        ))).phase_envelope()).max()
+        assert p3_lev > 2 * p3_sym
+
+
+class TestAnalyze:
+    def test_restores_raw_mean_and_variance(self, rng):
+        dlnx = rng.normal(0.0004, 0.012, size=4096)
+        st = analyze(dlnx, J=6)
+        assert st.variance == pytest.approx(dlnx.var(), rel=1e-3)
+        assert st.mean == pytest.approx(dlnx.mean(), rel=1e-2)
+
+
+class TestSynthesis:
+    def test_converges_to_gaussian_target(self, rng):
+        """Synthesising towards white-noise statistics must reach small
+        mismatch quickly (the easiest target: identity-like)."""
+        T, J = 512, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(64, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+        z, rms = synthesize_batch(
+            jax.random.PRNGKey(0), target, bank, batch=8,
+            max_iterations=300, tol=0.03, segment=100,
+        )
+        assert z.shape == (8, T)
+        assert np.median(rms) < 0.05
+
+    def test_generate_end_to_end_heavy_tail(self, rng):
+        """Full generate() on a heavy-tailed, vol-clustered input: outputs
+        must inherit scale, fat tails and clustering direction."""
+        from scipy.stats import kurtosis
+
+        # GARCH-ish input
+        T_obs = 1500
+        eps = rng.standard_t(5, size=T_obs)
+        vol = np.ones(T_obs) * 0.01
+        for t in range(1, T_obs):
+            vol[t] = np.sqrt(
+                0.02 * 0.01**2 + 0.9 * vol[t - 1] ** 2
+                + 0.08 * (vol[t - 1] * eps[t - 1]) ** 2
+            )
+        dlnx = vol * eps + 2e-4
+
+        out = generate(
+            dlnx, R=8, J=5, T=512, tol_optim=0.05, max_iterations=300,
+            seed=1, batch=8,
+        )
+        assert out.shape == (8, 1, 512)
+        # scale restored
+        assert out.std() == pytest.approx(dlnx.std(), rel=0.25)
+        # heavy tails inherited (Gaussian would be ~0)
+        assert kurtosis(out.ravel()) > 1.0
+
+    def test_generate_cache_roundtrip(self, rng, tmp_path):
+        dlnx = rng.normal(0, 0.01, size=1024)
+        a = generate(dlnx, R=4, J=4, T=256, max_iterations=60, seed=2,
+                     batch=4, cache_path=tmp_path)
+        b = generate(dlnx, R=4, J=4, T=256, max_iterations=60, seed=2,
+                     batch=4, cache_path=tmp_path)
+        np.testing.assert_array_equal(a, b)
+        shards = list(tmp_path.glob("scatgen_*/shard*.npy"))
+        assert len(shards) == 1
