@@ -129,10 +129,14 @@ def generate(
             z = np.load(shard_file)
         else:
             key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            ckpt = (
+                cache_dir / f"shard{i:05d}.ckpt.npz"
+                if cache_dir is not None else None
+            )
             z, rms = synthesize_batch(
                 key, target, bank_gen, batch=batch,
                 max_iterations=max_iterations, tol=tol_optim, lr=lr,
-                verbose=verbose,
+                verbose=verbose, checkpoint_path=ckpt,
             )
             if shard_file is not None:
                 np.save(shard_file, z)

@@ -84,22 +84,32 @@ def _scattering_stats_flat(
     sparsity = env.mean(axis=-1) ** 2 / jnp.maximum(p2, 1e-30)
 
     # second-level transforms of the centred envelopes — only the needed
-    # (a, b) pairs with a < b (all Phi_3 and Phi_4 terms reference these)
+    # (a, b) pairs with a < b (all Phi_3 and Phi_4 terms reference these).
+    # Gathers on traced tensors are expressed as one-hot matmuls: their
+    # backward pass is another matmul (MXU), not a scatter-add (whose scoped
+    # VMEM blows up at production batch sizes — observed on v5e).
     envc = env - env.mean(axis=-1, keepdims=True)
     ef = jnp.fft.fft(envc, axis=-1)                     # (B, J, T)
     ia, ib = _index_pairs(J)
-    we = jnp.fft.ifft(ef[:, ia, :] * psi_hat[ib][None], axis=-1)  # (B, P, T)
+    sel_a = jnp.asarray(np.eye(J, dtype=np.float32)[ia])   # (P, J)
+    sel_b = jnp.asarray(np.eye(J, dtype=np.float32)[ib])
+    ef_a = jnp.einsum("pj,bjt->bpt", sel_a, ef)          # (B, P, T)
+    we = jnp.fft.ifft(ef_a * psi_hat[ib][None], axis=-1)  # (B, P, T)
 
     # Phi_3: <W_b(|W_a x|) conj(W_b x)> / (sig_a sig_b)
-    phi3 = (we * jnp.conj(w[:, ib, :])).mean(axis=-1)
+    w_b = jnp.einsum("pj,bjt->bpt", sel_b, w)
+    phi3 = (we * jnp.conj(w_b)).mean(axis=-1)
     phi3 = phi3 / (sig[:, ia] * sig[:, ib])
 
     ta, tb, tc = _index_triples(J)
-    pid = jnp.asarray(_pair_id(J))
-    p_ac = pid[ta, tc]
-    p_bc = pid[tb, tc]
-    # Phi_4: <W_c(|W_a x|) conj(W_c(|W_b x|))> / (sig_a sig_b)
-    phi4 = (we[:, p_ac, :] * jnp.conj(we[:, p_bc, :])).mean(axis=-1)
+    pid = _pair_id(J)
+    p_ac = jnp.asarray(pid[ta, tc])
+    p_bc = jnp.asarray(pid[tb, tc])
+    # Phi_4 via the pair Gram matrix (one complex MXU matmul); the triple
+    # selection then gathers scalars from (B, P, P) — trivially cheap both
+    # ways
+    gram = jnp.einsum("bpt,bqt->bpq", we, jnp.conj(we)) / T
+    phi4 = gram[:, p_ac, p_bc]
     phi4 = phi4 / (sig[:, ta] * sig[:, tb])
 
     # mean as a t-statistic (O(1), comparable to the other stats)

@@ -43,7 +43,8 @@ def _optimize_segment(
 
     def loss_fn(z):
         stats = _scattering_stats_flat(z, psi_hat, J=J)   # (B, n)
-        return ((stats - target[None]) ** 2).mean(), stats
+        # sum of per-seed means: gradients don't depend on the batch split
+        return ((stats - target[None]) ** 2).mean(axis=-1).sum(), stats
 
     def per_seed_loss(stats):
         return ((stats - target[None]) ** 2).mean(axis=-1)
@@ -74,11 +75,16 @@ def synthesize_batch(
     segment: int = 100,
     lr: float = 0.03,
     verbose: bool = False,
+    checkpoint_path=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesise ``batch`` series matching ``target`` statistics.
 
     Returns (normalised series ``(batch, T)``, per-seed RMS losses).
     The caller rescales by the target std / adds the target mean.
+
+    :param checkpoint_path: optional ``.npz`` file; the optimiser state
+        (series, Adam moments, step count) is saved there after every
+        segment, so an interrupted long generation resumes mid-shard.
     """
     T = bank.T
     psi = jnp.asarray(bank.psi_hat)
@@ -87,6 +93,16 @@ def synthesize_batch(
     v = jnp.zeros_like(z)
 
     done = 0
+    if checkpoint_path is not None and checkpoint_path.exists():
+        ckpt = np.load(checkpoint_path)
+        if ckpt["z"].shape == (batch, T) and int(ckpt["done"]) <= max_iterations:
+            z = jnp.asarray(ckpt["z"])
+            m = jnp.asarray(ckpt["m"])
+            v = jnp.asarray(ckpt["v"])
+            done = int(ckpt["done"])
+            if verbose:
+                print(f"  resumed synthesis from step {done}", flush=True)
+
     losses = None
     while done < max_iterations:
         n = min(segment, max_iterations - done)
@@ -96,6 +112,11 @@ def synthesize_batch(
         )
         done += n
         rms = np.sqrt(np.asarray(losses))
+        if checkpoint_path is not None:
+            tmp = checkpoint_path.with_suffix(".tmp.npz")
+            np.savez(tmp, z=np.asarray(z), m=np.asarray(m), v=np.asarray(v),
+                     done=done)
+            tmp.replace(checkpoint_path)
         if verbose:
             print(
                 f"  synthesis step {done:5d}: rms mismatch "
@@ -104,4 +125,11 @@ def synthesize_batch(
             )
         if (rms < tol).all():
             break
+    if losses is None:  # resumed exactly at the step budget: evaluate only
+        z, m, v, losses = _optimize_segment(
+            z, m, v, jnp.asarray(done, jnp.float32), target, psi,
+            J=bank.J, n_steps=0, lr=lr,
+        )
+    if checkpoint_path is not None and checkpoint_path.exists():
+        checkpoint_path.unlink()  # shard finished: drop the mid-shard state
     return np.asarray(z), np.sqrt(np.asarray(losses))

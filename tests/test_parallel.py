@@ -1,0 +1,103 @@
+"""Mesh-sharded shadow search and synthesis step on a virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadowing_tpu import Identity, RelativeMSE
+from shadowing_tpu.models.scattering.moments import scattering_stats
+from shadowing_tpu.models.scattering.wavelets import build_filter_bank
+from shadowing_tpu.parallel.sharding import (
+    data_mesh,
+    shard_dataset,
+    sharded_fused_search,
+    sharded_synthesis_step,
+)
+from shadowing_tpu.shadow.engine import _window_norms
+
+
+def _setup(rng, R=64, T=256, w=16, B=2):
+    y = rng.normal(0, 0.02, size=(R, 1, T)).astype(np.float32)
+    x = rng.normal(0, 0.02, size=(B, 1, w)).astype(np.float32)
+    emb = Identity(w)
+    kernel = jnp.asarray(emb.kernel)
+    n_out = T - w + 1
+    x_emb = emb.embed_context(x)
+    x_norm2 = (x_emb**2).sum(-1)
+    g = jnp.einsum("bd,dcw->bcw", x_emb, kernel)
+    return y, kernel, n_out, x_emb, x_norm2, g
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_mesh_size_invariance(rng, n_dev):
+    """The reference's split-invariance property lifted to devices: any mesh
+    size returns identical winners."""
+    y, kernel, n_out, x_emb, x_norm2, g = _setup(rng)
+    dist = RelativeMSE()
+    k = 16
+
+    mesh = data_mesh(n_dev)
+    y_sh = shard_dataset(jnp.asarray(y), mesh)
+    norms = _window_norms(jnp.asarray(y), kernel, n_out=n_out, n_splits=1,
+                          identity_fast=True)
+    norms_sh = jax.device_put(
+        norms, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None))
+    )
+    vals, idx, ok = sharded_fused_search(
+        y_sh, norms_sh, g, x_norm2, k=k, n_out=n_out, distance=dist,
+        mesh=mesh,
+    )
+    assert np.asarray(ok).all()
+
+    # single-device oracle: brute-force scores
+    e = np.stack(
+        [np.einsum("rct,dct->rd", y[:, :, t : t + 16], np.asarray(kernel))
+         for t in range(n_out)], axis=1,
+    )  # (R, n_out, d)
+    d = np.linalg.norm(np.asarray(x_emb)[:, None, None] - e[None], axis=-1)
+    d /= np.linalg.norm(np.asarray(x_emb), axis=-1)[:, None, None]
+    flat = (d**2 - np.asarray(x_norm2)[:, None, None] / 1).reshape(2, -1)
+    # compare via score ordering on exact recomputation instead:
+    order = np.argsort(d.reshape(2, -1), axis=1)[:, :k]
+    got = np.sort(np.asarray(idx), axis=1)
+    np.testing.assert_array_equal(got, np.sort(order, axis=1))
+
+
+def test_sharded_synthesis_step_matches_single(rng):
+    T, J, R = 128, 3, 16
+    bank = build_filter_bank(T, J)
+    target = scattering_stats(
+        jnp.asarray(rng.normal(size=(8, T)), jnp.float32), bank
+    )
+    z0 = rng.normal(size=(R, T)).astype(np.float32)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = data_mesh(n_dev)
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None)
+        )
+        z = jax.device_put(jnp.asarray(z0), sh)
+        m = jax.device_put(jnp.zeros_like(z), sh)
+        v = jax.device_put(jnp.zeros_like(z), sh)
+        loss = None
+        for i in range(3):
+            z, m, v, loss = sharded_synthesis_step(
+                z, m, v, jnp.asarray(i), target,
+                jnp.asarray(bank.psi_hat), J=J, mesh=mesh,
+            )
+        results[n_dev] = (np.asarray(z), float(loss))
+
+    np.testing.assert_allclose(results[1][0], results[8][0], rtol=5e-4,
+                               atol=1e-6)
+    assert results[1][1] == pytest.approx(results[8][1], rel=1e-3)
+
+
+def test_uneven_shard_raises(rng):
+    y, kernel, n_out, x_emb, x_norm2, g = _setup(rng, R=60)
+    mesh = data_mesh(8)
+    with pytest.raises(ValueError):
+        sharded_fused_search(
+            jnp.asarray(y), jnp.zeros((60, n_out)), g, x_norm2,
+            k=4, n_out=n_out, distance=RelativeMSE(), mesh=mesh,
+        )
