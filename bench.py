@@ -69,11 +69,18 @@ def bench_target_config():
     to_predict = lambda x: realized_variance(x[:, :, 0, :], Ts=Ts, vol=False)
 
     def e2e():
-        d, p, _ = obj.shadow(ctx, k=1024)
+        # device-resident: one search feeds both the vol prediction and the
+        # conditional smile; only final grids reach the host
+        d, p, _ = obj.shadow_device(ctx, k=1024)
         vars_, _ = obj.predict_from_paths(d, p, to_predict, "softmax", 0.1)
+        import jax.numpy as jnp
+
+        fut = obj.context.select_out_context(p)[0, :, 0, :]
+        lnx = jnp.concatenate(
+            [jnp.zeros((1024, 1)), jnp.cumsum(fut, axis=-1)], axis=-1
+        )
         ave = Softmax(d[0], eta=0.075)
-        x = PriceData(dlnx=p[0, :, 0, 20:], x_init=100.0).x
-        smile = compute_smile(x, Ts, Ms, 0.0, ave)
+        smile = compute_smile(jnp.exp(lnx) * 100.0, Ts, Ms, 0.0, ave)
         return vars_, smile
 
     t0 = time.perf_counter()

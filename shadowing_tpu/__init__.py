@@ -36,6 +36,9 @@ from shadowing_tpu.stats.proba import DiscreteProba, Softmax, Uniform
 from shadowing_tpu.stats.realized import get_RV, realized_variance
 
 _LAZY = {
+    # workflows
+    "rolling_backtest": "shadowing_tpu.backtest",
+    "BacktestResult": "shadowing_tpu.backtest",
     # generators
     "MRWGenerator": "shadowing_tpu.models.mrw",
     "generate": "shadowing_tpu.models.scattering.generate",

@@ -170,20 +170,21 @@ def compute_smile(
         distances); ``None`` = uniform
     :param n_basis: hat-basis size for the per-step price/hedge regressions
     """
-    x = np.asarray(x, dtype=np.float32)
-    if x.ndim != 2:
-        raise ValueError(f"paths must be (N, T+1), got {x.shape}")
-    s0 = float(x[0, 0])
-    if not np.allclose(x[:, 0], s0, rtol=1e-5):
+    xj = jnp.asarray(x, dtype=jnp.float32)  # stays on device if already there
+    if xj.ndim != 2:
+        raise ValueError(f"paths must be (N, T+1), got {xj.shape}")
+    first = np.asarray(xj[:, 0])             # tiny host fetch for validation
+    s0 = float(first[0])
+    if not np.allclose(first, s0, rtol=1e-5):
         raise ValueError("all paths must share the same initial price S0")
     Ts = np.asarray(list(Ts), dtype=np.int64)
     Ms = np.asarray(list(Ms), dtype=np.float64)
-    if Ts.max() > x.shape[1] - 1:
+    if Ts.max() > xj.shape[1] - 1:
         raise ValueError(
-            f"max maturity {Ts.max()} exceeds path length {x.shape[1] - 1}"
+            f"max maturity {Ts.max()} exceeds path length {xj.shape[1] - 1}"
         )
 
-    N = x.shape[0]
+    N = xj.shape[0]
     if ave is None:
         w = jnp.full((N,), 1.0 / N)
     else:
@@ -192,15 +193,17 @@ def compute_smile(
 
     dt = 1.0 / ANNUALIZATION
     discount = jnp.exp(jnp.asarray(-r * dt))
-    xj = jnp.asarray(x)
     dlnx = jnp.diff(jnp.log(xj), axis=1)
 
     strikes_all, prices_all, vols_all, sig_all = [], [], [], []
-    for T in Ts:
+    sigma_dev = [
+        jnp.sqrt((w * (dlnx[:, :T] ** 2).sum(axis=1) / (T * dt)).sum())
+        for T in Ts
+    ]
+    sig_host = np.asarray(jnp.stack(sigma_dev))  # one host sync for all Ts
+    for T, sigma_T in zip(Ts, sig_host):
         tau = T * dt
-        rv = (dlnx[:, :T] ** 2).sum(axis=1) / tau      # annualised variance
-        sigma_T = float(jnp.sqrt((w * rv).sum()))
-        strikes = s0 * np.exp(Ms * sigma_T * np.sqrt(tau))
+        strikes = s0 * np.exp(Ms * float(sigma_T) * np.sqrt(tau))
         prices = _hmc_prices(
             xj[:, : T + 1], w, jnp.asarray(strikes, jnp.float32),
             discount, n_basis=n_basis,
@@ -210,7 +213,7 @@ def compute_smile(
         strikes_all.append(strikes)
         prices_all.append(np.asarray(prices))
         vols_all.append(np.asarray(vols))
-        sig_all.append(sigma_T)
+        sig_all.append(float(sigma_T))
 
     return Smile(
         Ts=Ts,

@@ -30,6 +30,9 @@ class PathDistance:
 
     #: True if ``score`` / ``finalize`` implement the quadratic expansion
     supports_expansion: bool = False
+    #: True if the selection score is exactly ``y_norm2 - 2 * cross`` (the
+    #: form hard-wired into the Pallas search kernel)
+    pallas_score_form: bool = False
 
     def __call__(self, x: Array, y: Array) -> jax.Array:
         return self.forward(x, y)
@@ -111,6 +114,7 @@ class RelativeMSE(PathDistance):
     ``path_distance.py:62-65``)."""
 
     supports_expansion = True
+    pallas_score_form = True
 
     def forward(self, x: Array, y: Array) -> jax.Array:
         x = jnp.asarray(x)
@@ -129,6 +133,7 @@ class MSE(PathDistance):
     """Plain Euclidean distance ``‖x - y‖`` (extension beyond the reference)."""
 
     supports_expansion = True
+    pallas_score_form = True
 
     def forward(self, x: Array, y: Array) -> jax.Array:
         return jnp.linalg.norm(jnp.asarray(x) - jnp.asarray(y), axis=-1)

@@ -42,6 +42,8 @@ import numpy as np
 from shadowing_tpu.array_types import Array, as_jax_f32, as_numpy, dim_bct
 from shadowing_tpu.data.dataset import TimeSeriesDataset
 from shadowing_tpu.ops import topk as topk_ops
+from shadowing_tpu.ops import pallas_search
+from shadowing_tpu.ops.sliding import sliding_dot
 from shadowing_tpu.shadow.context import ContextManager, PredictionContext
 from shadowing_tpu.shadow.distance import PathDistance
 from shadowing_tpu.shadow.embedding import PathEmbedding
@@ -94,12 +96,14 @@ def _window_norms(
         ones = jnp.ones((1, y.shape[1], w), jnp.float32)
 
         def body(_, y_c):
-            n = _conv(y_c * y_c, ones, PRECISION_SELECT)[:, 0, :n_out]
+            n = sliding_dot(y_c * y_c, ones, n_out=n_out,
+                            precision=PRECISION_SELECT)[:, 0]
             return None, n
     else:
 
         def body(_, y_c):
-            e = _conv(y_c, kernel, PRECISION_SELECT)[..., :n_out]  # (r, d, T')
+            e = sliding_dot(y_c, kernel, n_out=n_out,
+                            precision=PRECISION_SELECT)  # (r, d, T')
             return None, (e * e).sum(axis=1)
 
     _, norms = jax.lax.scan(body, None, y.reshape(n_splits, chunk, *y.shape[1:]))
@@ -143,7 +147,8 @@ def _fused_search(
     def body(carry, inp):
         d_run, i_run, ok_run = carry
         y_c, nrm_c, start = inp
-        cross = _conv(y_c, g, PRECISION_SELECT)[..., :n_out]   # (r, B, T')
+        cross = sliding_dot(y_c, g, n_out=n_out,
+                            precision=PRECISION_SELECT)        # (r, B, T')
         cross = jnp.moveaxis(cross, 1, 0)                      # (B, r, T')
         s = distance.score(x_norm2[:, None, None], cross, nrm_c[None])
         valid = (start + jnp.arange(chunk, dtype=jnp.int32)) < R
@@ -281,11 +286,29 @@ class PathShadowing:
         T = dim_bct(self.dataset).shape[-1]
         return self.context.conv_plan(self.embedding.kernel, T)
 
-    def _auto_splits(self, B: int, n_out: int, d: int) -> int:
+    def _auto_splits(self, B: int, n_out: int, d: int,
+                     method: str = "direct") -> int:
         R = self.y.shape[0]
-        per_row = n_out * (d + 2 * B) * 4  # scores + cross + embeddings
+        if method == "fused":
+            # fused never materialises per-window embeddings: per chunk it
+            # holds the cross term and the scores, (B x r x n_out) each
+            per_row = n_out * (2 * B + 1) * 4
+        else:
+            per_row = n_out * (d + 2 * B) * 4  # embeddings + broadcast dists
         total = R * per_row
         return max(1, -(-total // MEMORY_BUDGET))
+
+    def _pallas_ok(self, kernel: np.ndarray) -> bool:
+        """Whether the fused Pallas two-pass search applies: TPU backend,
+        single-channel data, a narrow-enough filter, and a distance whose
+        selection score has the kernel's ``norm2 - 2 cross`` form."""
+        return (
+            jax.default_backend() == "tpu"
+            and self.y.shape[1] == 1
+            and self.distance.supports_expansion
+            and kernel.shape[-1] <= pallas_search.L + 1
+            and self.distance.pallas_score_form
+        )
 
     def window_norms(self, n_splits: Optional[int] = None) -> jax.Array:
         """``‖h(y_t)‖²`` for every window — cached per engine instance."""
@@ -322,6 +345,20 @@ class PathShadowing:
             ``(trajectory, window start)``
         """
         del cuda
+        dists, paths, idces = self.shadow_device(x_context, k, n_splits, method)
+        return as_numpy(dists), as_numpy(paths), as_numpy(idces)
+
+    def shadow_device(
+        self,
+        x_context: Array,
+        k: int = 1,
+        n_splits: Optional[int] = None,
+        method: str = "auto",
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """:meth:`shadow` returning device arrays — chain device-resident
+        pipelines (prediction, pricing) without host round-trips (the
+        host<->device hop costs ~0.7 s for 10k paths through a remote
+        tunnel, vs ~1 ms of actual compute)."""
         x_context = dim_bct(np.asarray(x_context, dtype=np.float32))
         if x_context.shape[-1] != self.embedding.width:
             raise ValueError(
@@ -338,9 +375,23 @@ class PathShadowing:
                 f"(= R * valid window starts)"
             )
         if method == "auto":
-            method = "fused" if self.distance.supports_expansion else "direct"
+            if self.distance.supports_expansion:
+                # the pallas two-pass wins while selection is cheap (small
+                # k); at k >~ 4096 both paths are dominated by XLA's top_k
+                method = (
+                    "pallas" if self._pallas_ok(kernel) and k <= 4096
+                    else "fused"
+                )
+            else:
+                method = "direct"
+        if method == "pallas" and not self._pallas_ok(kernel):
+            raise ValueError(
+                "pallas search requires a TPU backend, a single-channel "
+                f"dataset, an expansion distance and filter width <= "
+                f"{pallas_search.L + 1}"
+            )
         if n_splits is None:
-            n_splits = self._auto_splits(B, n_out, d)
+            n_splits = self._auto_splits(B, n_out, d, method)
 
         y = self.y
         if y.shape[0] * n_out >= np.iinfo(np.int32).max:
@@ -351,15 +402,20 @@ class PathShadowing:
         kernel_dev = jnp.asarray(kernel)
         x_emb = self.embedding.embed_context(x_context)        # (B, d)
 
-        if method == "fused":
+        if method in ("fused", "pallas"):
             x_norm2 = (x_emb * x_emb).sum(axis=-1)
             # combined filters: g_b = sum_d x_emb[b, d] * kernel_d
             g = jnp.einsum("bd,dcw->bcw", x_emb, kernel_dev,
                            precision=PRECISION_SELECT)
-            _, flat_idx, ok = _fused_search(
-                y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
-                n_splits=n_splits, distance=self.distance,
-            )
+            if method == "pallas":
+                _, flat_idx, ok = pallas_search.two_pass_search(
+                    y, self.window_norms(), g, k=k, n_out=n_out,
+                )
+            else:
+                _, flat_idx, ok = _fused_search(
+                    y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
+                    n_splits=n_splits, distance=self.distance,
+                )
             ok_host = np.asarray(ok)
             if not ok_host.all():
                 # certification failed for some contexts (pathological score
@@ -369,7 +425,7 @@ class PathShadowing:
                     y, x_emb[redo], kernel_dev, k=k, n_out=n_out,
                     n_splits=n_splits, distance=self.distance,
                 )
-                flat_idx = np.asarray(flat_idx)
+                flat_idx = np.array(flat_idx)  # writable host copy
                 flat_idx[redo] = np.asarray(idx_exact)
                 flat_idx = jnp.asarray(flat_idx)
         elif method == "direct":
@@ -394,7 +450,7 @@ class PathShadowing:
         paths = jnp.take_along_axis(paths, order[..., None, None], axis=1)
         idces = jnp.take_along_axis(idces, order[..., None], axis=1)
 
-        return as_numpy(dists), as_numpy(paths), as_numpy(idces)
+        return dists, paths, idces
 
     # -- prediction --------------------------------------------------------
     @staticmethod
@@ -430,6 +486,40 @@ class PathShadowing:
             as_numpy(proba.std(values, axis=1)),
         )
 
+    def conditional_smile(
+        self,
+        x_context: Array,
+        k: int,
+        Ts,
+        Ms,
+        eta: float = 0.075,
+        r: float = 0.0,
+        x_init: float = 100.0,
+        n_splits: Optional[int] = None,
+        method: str = "auto",
+    ):
+        """Shadow then price: conditional Hedged-MC smiles, one per context.
+
+        Device-resident end to end (search -> futures -> prices -> smile);
+        only the smile grids reach the host. Equivalent to the reference's
+        notebook flow (``tutorial.ipynb`` cells 12-14): ``shadow`` +
+        ``Softmax`` + ``PriceData`` + ``compute_smile``.
+        """
+        from shadowing_tpu.pricing.hedged_mc import compute_smile
+
+        dists, paths, _ = self.shadow_device(x_context, k, n_splits, method)
+        out = self.context.select_out_context(paths)  # (B, k, C, h)
+        smiles = []
+        for b in range(out.shape[0]):
+            fut = out[b, :, 0, :]
+            lnx = jnp.concatenate(
+                [jnp.zeros((k, 1)), jnp.cumsum(fut, axis=-1)], axis=-1
+            )
+            prices = jnp.exp(lnx) * x_init
+            ave = Softmax(dists[b], eta=eta)
+            smiles.append(compute_smile(prices, Ts, Ms, r, ave))
+        return smiles
+
     def predict(
         self,
         x_context: Array,
@@ -451,7 +541,7 @@ class PathShadowing:
 
         preds, stds = [], []
         for s in range(0, B, chunk):
-            d, p, _ = self.shadow(
+            d, p, _ = self.shadow_device(
                 x_context[s : s + chunk], k, n_dataset_splits, method
             )
             a, b = self.predict_from_paths(d, p, to_predict, proba_name, eta)

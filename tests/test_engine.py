@@ -227,3 +227,18 @@ class TestPredict:
                              n_context_splits=4)
         np.testing.assert_allclose(p1, p2, rtol=1e-6)
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+class TestConditionalSmile:
+    def test_smiles_per_context(self, small_problem):
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        smiles = obj.conditional_smile(
+            x_context[:2], k=32, Ts=[4, 8], Ms=[-1.0, 0.0, 1.0], eta=0.5
+        )
+        assert len(smiles) == 2
+        for s in smiles:
+            assert s.vols.shape == (2, 3)
+            assert np.isfinite(s.vols).all()
+            assert (s.vols > 0).all()
