@@ -7,6 +7,7 @@ transform W_j x and second-level transforms of the envelopes |W_j x|:
 * ``variance``             Var(x)
 * ``power``     Phi_2(j) = <|W_j x|^2> / Var(x)                     (J real)
 * ``sparsity``  s(j)     = <|W_j x|>^2 / <|W_j x|^2>                (J real)
+* ``flatness``  f(j)     = log <|W_j x|^4> / <|W_j x|^2>^2          (J real)
 * ``phase-env`` Phi_3(a,b) = <W_b(|W_a x|) conj(W_b x)> / (sig_a sig_b)
                 for a < b                              (J(J-1)/2 complex)
 * ``env-corr``  Phi_4(a,b,c) = <W_c(|W_a x|) conj(W_c(|W_b x|))>
@@ -14,8 +15,11 @@ transform W_j x and second-level transforms of the envelopes |W_j x|:
 
 with ``sig_j = sqrt(<|W_j x|^2>)``. Phi_3 captures sign/phase-envelope
 alignment (leverage, skewness); Phi_4 captures cross-scale envelope
-dependence (volatility clustering, multifractality). Gaussian white noise
-has Phi_3 = Phi_4 = 0 and sparsity pi/4 — properties the tests pin down.
+dependence (volatility clustering, multifractality); the flatness pins the
+per-scale tail weight (without it, synthesis matches vol clustering but
+under-reproduces extreme-day kurtosis — observed on S&P-like targets).
+Gaussian white noise has Phi_3 = Phi_4 = 0, sparsity pi/4 and flatness
+log 2 — properties the tests pin down.
 
 Everything is computed by batched FFTs under jit; the flattened vector is
 what the synthesis optimiser matches.
@@ -60,7 +64,7 @@ def _pair_id(J: int) -> np.ndarray:
 def n_stats(J: int) -> int:
     n_pairs = J * (J - 1) // 2
     n_trip = len(_index_triples(J)[0])
-    return 2 + 2 * J + 2 * n_pairs + 2 * n_trip
+    return 2 + 3 * J + 2 * n_pairs + 2 * n_trip
 
 
 @partial(jax.jit, static_argnames=("J",))
@@ -82,6 +86,10 @@ def _scattering_stats_flat(
     sig = jnp.sqrt(jnp.maximum(p2, 1e-30))
     power = p2 / jnp.maximum(var[:, None], 1e-30)
     sparsity = env.mean(axis=-1) ** 2 / jnp.maximum(p2, 1e-30)
+    p4 = (env**4).mean(axis=-1)
+    flatness = jnp.log(jnp.maximum(p4, 1e-60)) - 2.0 * jnp.log(
+        jnp.maximum(p2, 1e-30)
+    )
 
     # second-level transforms of the centred envelopes — only the needed
     # (a, b) pairs with a < b (all Phi_3 and Phi_4 terms reference these).
@@ -121,6 +129,7 @@ def _scattering_stats_flat(
             jnp.log(jnp.maximum(var[:, None], 1e-30)),
             jnp.log(jnp.maximum(power, 1e-30)),
             sparsity,
+            flatness,
             phi3.real,
             phi3.imag,
             phi4.real,
@@ -145,6 +154,7 @@ class ScatteringStats:
         i = 0
         for name, n in (
             ("mean", 1), ("logvar", 1), ("logpower", J), ("sparsity", J),
+            ("flatness", J),
             ("phi3_re", n_pairs), ("phi3_im", n_pairs),
             ("phi4_re", n_trip), ("phi4_im", n_trip),
         ):
@@ -176,6 +186,11 @@ class ScatteringStats:
 
     def sparsity(self) -> np.ndarray:
         return np.asarray(self._get("sparsity"))
+
+    def flatness(self) -> np.ndarray:
+        """Per-scale envelope flatness ``<|W|^4> / <|W|^2>^2`` (2 for a
+        Gaussian envelope; larger = heavier tails)."""
+        return np.exp(self._get("flatness"))
 
     def phase_envelope(self) -> np.ndarray:
         """Phi_3 as a (J, J) complex matrix (a rows, b cols; a < b)."""

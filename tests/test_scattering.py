@@ -156,3 +156,28 @@ class TestSynthesis:
         np.testing.assert_array_equal(a, b)
         shards = list(tmp_path.glob("scatgen_*/shard*.npy"))
         assert len(shards) == 1
+
+
+class TestFlatness:
+    def test_gaussian_flatness_is_two(self, rng):
+        x = rng.normal(size=(64, 2048))
+        x = (x - x.mean(-1, keepdims=True)) / x.std(-1, keepdims=True)
+        bank = build_filter_bank(2048, 5)
+        st = ScatteringStats(5, np.asarray(
+            scattering_stats(jnp.asarray(x, jnp.float32), bank)))
+        np.testing.assert_allclose(st.flatness(), 2.0, atol=0.25)
+
+    def test_synthesis_matches_target_flatness(self, rng):
+        """Heavy-tailed target: generated series must reproduce the
+        per-scale envelope flatness (the tail-weight statistic)."""
+        t4 = rng.standard_t(4, size=4000) * 0.01
+        out = generate(t4, R=8, J=5, T=1024, tol_optim=0.04,
+                       max_iterations=500, seed=3, batch=8)
+        from shadowing_tpu import analyze
+
+        f_obs = analyze(t4, J=5).flatness()
+        f_gen = analyze(out.ravel(), J=5).flatness()
+        # within 30% per scale (log-scale stat, tol 0.04 optimisation)
+        np.testing.assert_allclose(f_gen, f_obs, rtol=0.35)
+        # and clearly super-Gaussian
+        assert (f_gen > 2.3).any()
