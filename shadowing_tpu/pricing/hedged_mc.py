@@ -114,6 +114,29 @@ def _hmc_prices(
     return coef0[0]
 
 
+@partial(jax.jit, static_argnames=("Ts", "n_basis"))
+def _smile_all(xj, weights, Ms, s0, r, Ts, n_basis):
+    """Strikes / HMC prices / implied vols for every maturity, one graph."""
+    dt = 1.0 / ANNUALIZATION
+    discount = jnp.exp(jnp.asarray(-r * dt))
+    dlnx = jnp.diff(jnp.log(xj), axis=1)
+    strikes_all, prices_all, vols_all, sig_all = [], [], [], []
+    for T in Ts:  # unrolled into the single jitted graph
+        tau = T * dt
+        rv = (dlnx[:, :T] ** 2).sum(axis=1) / tau
+        sigma_T = jnp.sqrt((weights * rv).sum())
+        strikes = s0 * jnp.exp(Ms * sigma_T * jnp.sqrt(tau))
+        prices = _hmc_prices(xj[:, : T + 1], weights, strikes, discount,
+                             n_basis=n_basis)
+        vols = bs_implied_vol(prices, s0, strikes, tau, r)
+        strikes_all.append(strikes)
+        prices_all.append(prices)
+        vols_all.append(vols)
+        sig_all.append(sigma_T)
+    return (jnp.stack(strikes_all), jnp.stack(prices_all),
+            jnp.stack(vols_all), jnp.stack(sig_all))
+
+
 @dataclass
 class Smile:
     """Implied-volatility smile over maturities x rescaled log-moneyness."""
@@ -191,37 +214,20 @@ def compute_smile(
         w = ave.weights_like(jnp.zeros((N,)), axis=0)
         w = w / w.sum()
 
-    dt = 1.0 / ANNUALIZATION
-    discount = jnp.exp(jnp.asarray(-r * dt))
-    dlnx = jnp.diff(jnp.log(xj), axis=1)
-
-    strikes_all, prices_all, vols_all, sig_all = [], [], [], []
-    sigma_dev = [
-        jnp.sqrt((w * (dlnx[:, :T] ** 2).sum(axis=1) / (T * dt)).sum())
-        for T in Ts
-    ]
-    sig_host = np.asarray(jnp.stack(sigma_dev))  # one host sync for all Ts
-    for T, sigma_T in zip(Ts, sig_host):
-        tau = T * dt
-        strikes = s0 * np.exp(Ms * float(sigma_T) * np.sqrt(tau))
-        prices = _hmc_prices(
-            xj[:, : T + 1], w, jnp.asarray(strikes, jnp.float32),
-            discount, n_basis=n_basis,
-        )
-        vols = bs_implied_vol(prices, s0, jnp.asarray(strikes, jnp.float32),
-                              tau, r)
-        strikes_all.append(strikes)
-        prices_all.append(np.asarray(prices))
-        vols_all.append(np.asarray(vols))
-        sig_all.append(float(sigma_T))
-
+    # one jitted graph for every maturity: a single device dispatch and a
+    # single host fetch (per-maturity dispatches cost ~5 ms each through
+    # remote-TPU tunnels and dominated the smile wall time)
+    strikes, prices, vols, sig = _smile_all(
+        xj, w, jnp.asarray(Ms, jnp.float32), float(s0), float(r),
+        Ts=tuple(int(t) for t in Ts), n_basis=n_basis,
+    )
     return Smile(
         Ts=Ts,
         Ms=Ms,
-        strikes=np.stack(strikes_all),
-        prices=np.stack(prices_all),
-        vols=np.stack(vols_all),
-        sigma_ref=np.asarray(sig_all),
+        strikes=np.asarray(strikes, np.float64),
+        prices=np.asarray(prices),
+        vols=np.asarray(vols),
+        sigma_ref=np.asarray(sig),
         spot=s0,
         r=float(r),
     )
