@@ -25,7 +25,7 @@ Design differences from the reference (all TPU-first):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Literal, Optional, Tuple, Union
+from typing import Dict, List, Literal, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

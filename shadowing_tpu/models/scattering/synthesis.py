@@ -16,7 +16,7 @@ scan segments on the host (all-converged batches stop spending steps).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

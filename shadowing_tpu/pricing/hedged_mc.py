@@ -29,7 +29,7 @@ the typical vol-of-horizon; validated in tests by the Black-Scholes limit
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Sequence
 

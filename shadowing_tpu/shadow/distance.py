@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from shadowing_tpu.array_types import Array, as_jax_f32
-from shadowing_tpu.ops.topk import merge_min, topk_min_sort
+from shadowing_tpu.ops.topk import merge_min
 
 
 class PathDistance:

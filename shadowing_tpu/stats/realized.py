@@ -8,7 +8,7 @@ first ``T`` out-context steps, annualised by the trading-day count
 """
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Iterable
 
 import jax.numpy as jnp
 import numpy as np
