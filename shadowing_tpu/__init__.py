@@ -36,6 +36,11 @@ from shadowing_tpu.stats.proba import DiscreteProba, Softmax, Uniform
 from shadowing_tpu.stats.realized import get_RV, realized_variance
 
 _LAZY = {
+    # parallel (mesh sharding)
+    "data_mesh": "shadowing_tpu.parallel.sharding",
+    "shard_dataset": "shadowing_tpu.parallel.sharding",
+    "sharded_fused_search": "shadowing_tpu.parallel.sharding",
+    "sharded_synthesis_step": "shadowing_tpu.parallel.sharding",
     # workflows
     "rolling_backtest": "shadowing_tpu.backtest",
     "BacktestResult": "shadowing_tpu.backtest",

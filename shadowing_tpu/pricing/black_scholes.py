@@ -29,7 +29,9 @@ def bs_call_price(spot, strike, tau, sigma, r=0.0):
 def bs_implied_vol(price, spot, strike, tau, r=0.0, n_iter: int = 80):
     """Implied volatility by bisection (robust, fully vectorised).
 
-    Prices outside the no-arbitrage band return the nearest bound's vol.
+    Prices outside the no-arbitrage band — below intrinsic value (a Monte
+    Carlo estimate can be) or above spot — return NaN rather than a
+    silently railed bound.
     """
     price, spot, strike, tau = map(jnp.asarray, (price, spot, strike, tau))
     lo = jnp.full(jnp.broadcast_shapes(price.shape, spot.shape, strike.shape),
@@ -43,4 +45,6 @@ def bs_implied_vol(price, spot, strike, tau, r=0.0, n_iter: int = 80):
         return jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    return 0.5 * (lo + hi)
+    intrinsic = jnp.maximum(spot - strike * jnp.exp(-r * tau), 0.0)
+    valid = (price > intrinsic) & (price < spot)
+    return jnp.where(valid, 0.5 * (lo + hi), jnp.nan)

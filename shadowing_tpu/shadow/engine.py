@@ -354,6 +354,7 @@ class PathShadowing:
         k: int = 1,
         n_splits: Optional[int] = None,
         method: str = "auto",
+        tournament_cap: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """:meth:`shadow` returning device arrays — chain device-resident
         pipelines (prediction, pricing) without host round-trips (the
@@ -410,11 +411,13 @@ class PathShadowing:
             if method == "pallas":
                 _, flat_idx, ok = pallas_search.two_pass_search(
                     y, self.window_norms(), g, k=k, n_out=n_out,
+                    cap=tournament_cap,
                 )
             else:
                 _, flat_idx, ok = _fused_search(
                     y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
                     n_splits=n_splits, distance=self.distance,
+                    cap=tournament_cap,
                 )
             ok_host = np.asarray(ok)
             if not ok_host.all():

@@ -240,5 +240,22 @@ class TestConditionalSmile:
         assert len(smiles) == 2
         for s in smiles:
             assert s.vols.shape == (2, 3)
-            assert np.isfinite(s.vols).all()
-            assert (s.vols > 0).all()
+            # ATM must always price; extreme strikes may legitimately have
+            # no-arb-violating MC prices (reported as NaN, not railed)
+            assert np.isfinite(s.vols[:, 1]).all()
+            finite = s.vols[np.isfinite(s.vols)]
+            assert (finite > 0).all()
+
+
+class TestCertificationFallback:
+    def test_tiny_cap_falls_back_to_exact(self, small_problem):
+        """Force the tournament certification to fail (cap of 1 block): the
+        engine must detect it and still return the exact answer."""
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        d_ref, p_ref, i_ref = obj.shadow(x_context, k=32)
+        d, p, i = obj.shadow_device(x_context, k=32, method="fused",
+                                    tournament_cap=1)
+        np.testing.assert_array_equal(np.asarray(i), i_ref)
+        np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-6)
