@@ -25,18 +25,23 @@ def bs_call_price(spot, strike, tau, sigma, r=0.0):
     return spot * _norm_cdf(d1) - strike * jnp.exp(-r * tau) * _norm_cdf(d2)
 
 
+SIGMA_LO = 1e-4
+SIGMA_HI = 5.0
+
+
 @partial(jax.jit, static_argnames=("n_iter",))
 def bs_implied_vol(price, spot, strike, tau, r=0.0, n_iter: int = 80):
     """Implied volatility by bisection (robust, fully vectorised).
 
-    Prices outside the no-arbitrage band — below intrinsic value (a Monte
-    Carlo estimate can be) or above spot — return NaN rather than a
-    silently railed bound.
+    Prices outside the solvable bracket — below the ``SIGMA_LO`` price
+    (a Monte Carlo estimate can land under intrinsic value) or above the
+    ``SIGMA_HI`` price — return NaN rather than a silently railed bound.
     """
     price, spot, strike, tau = map(jnp.asarray, (price, spot, strike, tau))
-    lo = jnp.full(jnp.broadcast_shapes(price.shape, spot.shape, strike.shape),
-                  1e-4)
-    hi = jnp.full_like(lo, 5.0)
+    shape = jnp.broadcast_shapes(price.shape, spot.shape, strike.shape,
+                                 tau.shape)
+    lo = jnp.full(shape, SIGMA_LO)
+    hi = jnp.full(shape, SIGMA_HI)
 
     def body(_, bounds):
         lo, hi = bounds
@@ -45,6 +50,10 @@ def bs_implied_vol(price, spot, strike, tau, r=0.0, n_iter: int = 80):
         return jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    intrinsic = jnp.maximum(spot - strike * jnp.exp(-r * tau), 0.0)
-    valid = (price > intrinsic) & (price < spot)
+    # f32 guard band: boundary prices must stay solvable despite rounding
+    # skew between the caller's price and the in-graph bracket evaluation
+    tol = 1e-6 * spot
+    valid = (price >= bs_call_price(spot, strike, tau, SIGMA_LO, r) - tol) & (
+        price <= bs_call_price(spot, strike, tau, SIGMA_HI, r) + tol
+    )
     return jnp.where(valid, 0.5 * (lo + hi), jnp.nan)

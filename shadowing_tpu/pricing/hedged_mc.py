@@ -163,12 +163,10 @@ class Smile:
             _, ax = plt.subplots(figsize=(4, 3))
         n = len(self.Ts)
         for i, T in enumerate(self.Ts):
-            x = np.asarray(
-                self.Ms if rescale else np.log(self.strikes[i] / self.spot)
-            )
+            x = self.Ms if rescale else np.log(self.strikes[i] / self.spot)
             alpha = 1.0 - 0.6 * i / max(n - 1, 1)
-            m = np.isfinite(self.vols[i])  # drop no-arb-violating MC points
-            ax.plot(x[m], self.vols[i][m], marker="o", ms=3, color=color,
+            # NaN vols (unsolvable MC prices) render as honest line gaps
+            ax.plot(x, self.vols[i], marker="o", ms=3, color=color,
                     alpha=alpha, label=rf"$T={int(T)}$")
         ax.set_xlabel(r"$\mathcal{M}$" if rescale else r"$\ln(K/S_0)$")
         ax.set_ylabel(r"implied vol")

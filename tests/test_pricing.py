@@ -88,3 +88,27 @@ class TestHedgedMC:
         smile = compute_smile(x, Ts=[5, 10], Ms=np.linspace(-1, 1, 5))
         ax = smile.plot(color="coral", rescale=True, legend=True)
         assert len(ax.lines) == 2
+
+
+class TestImpliedVolEdges:
+    def test_out_of_bracket_prices_are_nan(self):
+        # below the sigma_lo price (sub-intrinsic) and above the sigma_hi price
+        iv_low = np.asarray(bs_implied_vol(4.0, 100.0, 105.0, 1e-8))
+        assert np.isnan(iv_low)
+        iv_high = np.asarray(bs_implied_vol(99.0, 100.0, 100.0, 5 / 252))
+        assert np.isnan(iv_high)
+
+    def test_boundary_price_solvable(self):
+        # exactly the sigma_lo price must solve (to ~sigma_lo), not NaN
+        from shadowing_tpu.pricing.black_scholes import SIGMA_LO, bs_call_price
+
+        p = bs_call_price(100.0, 90.0, 10 / 252, SIGMA_LO)
+        iv = np.asarray(bs_implied_vol(p, 100.0, 90.0, 10 / 252))
+        assert np.isfinite(iv) and iv < 1e-3
+
+    def test_array_tau_broadcast(self):
+        taus = np.array([[0.1], [0.5]])
+        prices = np.asarray(bs_call_price(100.0, 100.0, taus, 0.2))
+        iv = np.asarray(bs_implied_vol(prices, 100.0, 100.0, taus))
+        assert iv.shape == (2, 1)
+        np.testing.assert_allclose(iv, 0.2, rtol=1e-3)
