@@ -144,7 +144,9 @@ class _PDVBase:
         self._t_params: Optional[tuple] = None  # (df, loc, scale)
         if snp is not None:
             self.calibrate_log_returns(snp)
-        elif nu is not None:
+        if nu is not None:
+            # reference order (PDV.py:192-195): an explicit nu overrides the
+            # snp-calibrated distribution
             self.define_dlnx_dist(nu)
 
     def define_dlnx_dist(self, nu: float) -> None:

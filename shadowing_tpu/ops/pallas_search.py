@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from shadowing_tpu.ops.sliding import _toeplitz as _toeplitz_generic
+
 L = 128               # window starts per block (= the tournament block size)
 #: target bytes for the trajectory tile per grid step; the pipeline holds
 #: two double-buffered input tiles of roughly this size, so keep the total
@@ -42,13 +44,11 @@ def _rows_per_tile(t_cols: int) -> int:
 
 def _toeplitz_2l(g: jax.Array) -> jax.Array:
     """Banded Toeplitz ``(2L, L)`` operator of a filter ``g`` (w <= L + 1):
-    ``G[s, l] = g[s - l]`` for ``0 <= s - l < w``."""
-    w = g.shape[-1]
-    ii = jnp.arange(2 * L)[:, None]
-    jj = jnp.arange(L)[None, :]
-    off = ii - jj
-    band = (off >= 0) & (off < w)
-    return jnp.where(band, g[jnp.where(band, off, 0)], 0.0)
+    ``G[s, l] = g[s - l]`` for ``0 <= s - l < w`` — the generic builder from
+    :mod:`shadowing_tpu.ops.sliding`, zero-padded from ``L + w - 1`` to
+    ``2L`` rows (the kernel always consumes two L-blocks per segment)."""
+    G = _toeplitz_generic(g[None, None, :], L)[0, :, :, 0]   # (L + w - 1, L)
+    return jnp.pad(G, ((0, 2 * L - G.shape[0]), (0, 0)))
 
 
 def _make_kernel(nblk: int):
@@ -162,6 +162,7 @@ def two_pass_search(
     def per_context(bmin_b, G_b):
         neg_mu, bidx = jax.lax.top_k(-bmin_b, cap)       # cap best blocks
         mu_cap = jnp.where(cap < Rp * nblk, -neg_mu[-1], jnp.inf)
+        bidx = jnp.sort(bidx)  # flat order: exact ties match the sort oracle
         r = bidx // nblk
         j = bidx % nblk
         col = j[:, None] * L + jnp.arange(2 * L)[None, :]

@@ -94,6 +94,9 @@ def topk_min(
     neg_mu, bidx = jax.lax.top_k(-bmin, cap)                 # cap smallest minima
     # best minimum among *unselected* blocks bounds everything we did not see
     mu_cap = jnp.where(cap < n_blocks, -neg_mu[-1], jnp.inf)
+    # flat-index order so exact-tie winners match the sort oracle (and are
+    # independent of block-min ordering / chunking)
+    bidx = jnp.sort(bidx)
 
     cand = blocks[bidx].reshape(-1)                          # (cap*block,)
     cand_idx = (bidx[:, None] * block

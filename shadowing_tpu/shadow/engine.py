@@ -93,10 +93,14 @@ def _window_norms(
     w = kernel.shape[-1]
 
     if identity_fast:
-        ones = jnp.ones((1, y.shape[1], w), jnp.float32)
+        # exact when every kernel row has at most one nonzero tap (identity
+        # banks, incl. gapped/channel-padded context variants): then
+        # ||E||^2 = sum_tau (sum_d k[d,c,tau]^2) y[tau]^2 — one sliding dot
+        # of y^2 with the squared-tap filter instead of a d-channel pass
+        k2 = (kernel**2).sum(axis=0, keepdims=True)     # (1, C, Kw)
 
         def body(_, y_c):
-            n = sliding_dot(y_c * y_c, ones, n_out=n_out,
+            n = sliding_dot(y_c * y_c, k2, n_out=n_out,
                             precision=PRECISION_SELECT)[:, 0]
             return None, n
     else:
@@ -316,11 +320,15 @@ class PathShadowing:
             kernel, n_out = self._plan()
             if n_splits is None:
                 n_splits = self._auto_splits(1, n_out, self.embedding.dim)
+            # the diagonal fast path is exact iff every embedding row has at
+            # most one nonzero tap in the context-adjusted kernel
+            diag = bool(
+                (np.count_nonzero(kernel.reshape(kernel.shape[0], -1),
+                                  axis=1) <= 1).all()
+            )
             self._norms = _window_norms(
                 self.y, jnp.asarray(kernel), n_out=n_out, n_splits=n_splits,
-                identity_fast=bool(
-                    self.embedding.is_identity and self.y.shape[1] == 1
-                ),
+                identity_fast=diag,
             )
         return self._norms
 
@@ -395,9 +403,10 @@ class PathShadowing:
             n_splits = self._auto_splits(B, n_out, d, method)
 
         y = self.y
-        if y.shape[0] * n_out >= np.iinfo(np.int32).max:
+        if y.shape[0] * y.shape[2] >= np.iinfo(np.int32).max:
+            # path extraction flattens to traj * T + t in int32
             raise ValueError(
-                "R * n_out exceeds int32 — shard the dataset over a mesh "
+                "R * T exceeds int32 — shard the dataset over a mesh "
                 "(see shadowing_tpu.parallel)"
             )
         kernel_dev = jnp.asarray(kernel)
@@ -426,7 +435,10 @@ class PathShadowing:
                 redo = np.nonzero(~ok_host)[0]
                 _, idx_exact = _direct_search(
                     y, x_emb[redo], kernel_dev, k=k, n_out=n_out,
-                    n_splits=n_splits, distance=self.distance,
+                    # re-budget: direct materialises d-dim embeddings per
+                    # row, far more than the fused chunks were sized for
+                    n_splits=self._auto_splits(len(redo), n_out, d, "direct"),
+                    distance=self.distance,
                 )
                 flat_idx = np.array(flat_idx)  # writable host copy
                 flat_idx[redo] = np.asarray(idx_exact)

@@ -259,3 +259,19 @@ class TestCertificationFallback:
                                     tournament_cap=1)
         np.testing.assert_array_equal(np.asarray(i), i_ref)
         np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-6)
+
+
+class TestImputationSelectionParity:
+    def test_fused_equals_direct_with_gapped_identity(self, rng):
+        """Regression (code review): the diagonal window-norm fast path must
+        account for the imputation gap's zero taps — fused and direct
+        selection were returning different neighbors."""
+        dataset = rng.normal(0, 1, size=(48, 1, 200)).astype(np.float32)
+        ctx = ImputationContext((8, 6, 8))
+        x_context = rng.normal(0, 1, size=(3, 1, 16)).astype(np.float32)
+        obj_f = PathShadowing(Identity(16), RelativeMSE(), dataset, ctx)
+        obj_d = PathShadowing(Identity(16), RelativeMSE(), dataset, ctx)
+        df, _, i_f = obj_f.shadow(x_context, k=12, method="fused")
+        dd, _, i_d = obj_d.shadow(x_context, k=12, method="direct")
+        np.testing.assert_array_equal(i_f, i_d)
+        np.testing.assert_allclose(df, dd, rtol=1e-6)
