@@ -102,12 +102,12 @@ def _scattering_stats_flat(
     sel_a = jnp.asarray(np.eye(J, dtype=np.float32)[ia])   # (P, J)
     sel_b = jnp.asarray(np.eye(J, dtype=np.float32)[ib])
     ef_a = jnp.einsum("pj,bjt->bpt", sel_a, ef,
-                      precision=jax.lax.Precision.HIGHEST)  # (B, P, T)
+                      precision=jax.lax.Precision.HIGH)  # (B, P, T)
     we = jnp.fft.ifft(ef_a * psi_hat[ib][None], axis=-1)  # (B, P, T)
 
     # Phi_3: <W_b(|W_a x|) conj(W_b x)> / (sig_a sig_b)
     w_b = jnp.einsum("pj,bjt->bpt", sel_b, w,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=jax.lax.Precision.HIGH)
     phi3 = (we * jnp.conj(w_b)).mean(axis=-1)
     phi3 = phi3 / (sig[:, ia] * sig[:, ib])
 
@@ -119,7 +119,7 @@ def _scattering_stats_flat(
     # selection then gathers scalars from (B, P, P) — trivially cheap both
     # ways
     gram = jnp.einsum("bpt,bqt->bpq", we, jnp.conj(we),
-                      precision=jax.lax.Precision.HIGHEST) / T
+                      precision=jax.lax.Precision.HIGH) / T
     phi4 = gram[:, p_ac, p_bc]
     phi4 = phi4 / (sig[:, ta] * sig[:, tb])
 

@@ -210,6 +210,17 @@ def _direct_search(
     return d_run, i_run
 
 
+@partial(jax.jit, static_argnames=())
+def _prep_context(x_context: jax.Array, kernel: jax.Array):
+    """Context embedding, its norm, and the combined filters — one dispatch
+    (eager glue costs ~5 ms per op through remote-TPU tunnels)."""
+    x_emb = jnp.einsum("bcw,dcw->bd", x_context, kernel,
+                       precision=PRECISION_EXACT)
+    x_norm2 = (x_emb * x_emb).sum(axis=-1)
+    g = jnp.einsum("bd,dcw->bcw", x_emb, kernel, precision=PRECISION_SELECT)
+    return x_emb, x_norm2, g
+
+
 # --------------------------------------------------------------------------
 # extraction + exact rescore
 # --------------------------------------------------------------------------
@@ -243,6 +254,45 @@ def _exact_rescore(
     e = _conv(in_paths.reshape(B * k, C, w), kernel, PRECISION_EXACT)
     e = e[:, :, 0].reshape(B, k, -1)                           # (B, k, d)
     return distance.forward(x_emb[:, None, :], e)
+
+
+@partial(jax.jit, static_argnames=("n_out", "w_extract", "distance",
+                                   "select_in"))
+def _finalize_shadow(
+    y: jax.Array,
+    flat_idx: jax.Array,
+    x_emb: jax.Array,
+    kernel: jax.Array,
+    n_out: int,
+    w_extract: int,
+    distance: PathDistance,
+    select_in,
+):
+    """Extraction + exact rescore + ascending sort, fused into one dispatch."""
+    paths, idces = _extract_paths(y, flat_idx, n_out=n_out,
+                                  w_extract=w_extract)
+    in_paths = select_in(paths)
+    dists = _exact_rescore(x_emb, in_paths, kernel, distance=distance)
+    order = jnp.argsort(dists, axis=-1)
+    dists = jnp.take_along_axis(dists, order, axis=-1)
+    paths = jnp.take_along_axis(paths, order[..., None, None], axis=1)
+    idces = jnp.take_along_axis(idces, order[..., None], axis=1)
+    return dists, paths, idces
+
+
+@partial(jax.jit,
+         static_argnames=("to_predict", "proba_name", "eta", "select_out"))
+def _aggregate_predictions(distances, paths, to_predict, proba_name, eta,
+                           select_out):
+    out = select_out(paths)
+    if proba_name == "uniform":
+        proba = Uniform()
+    elif proba_name == "softmax":
+        proba = Softmax(distances[:, :, None], eta)
+    else:
+        raise ValueError(f"unrecognized averaging proba {proba_name!r}")
+    values = jnp.asarray(to_predict(out))
+    return proba.avg(values, axis=1), proba.std(values, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -410,13 +460,20 @@ class PathShadowing:
                 "(see shadowing_tpu.parallel)"
             )
         kernel_dev = jnp.asarray(kernel)
-        x_emb = self.embedding.embed_context(x_context)        # (B, d)
+        # context embedding needs the *unadjusted* kernel (its width equals
+        # the context length); the plan kernel drives the dataset pass
+        x_emb, x_norm2, g_raw = _prep_context(
+            jnp.asarray(x_context), jnp.asarray(self.embedding.kernel)
+        )
 
         if method in ("fused", "pallas"):
-            x_norm2 = (x_emb * x_emb).sum(axis=-1)
-            # combined filters: g_b = sum_d x_emb[b, d] * kernel_d
-            g = jnp.einsum("bd,dcw->bcw", x_emb, kernel_dev,
-                           precision=PRECISION_SELECT)
+            # combined filters over the context-adjusted kernel
+            g = (
+                g_raw
+                if kernel.shape == self.embedding.kernel.shape
+                else jnp.einsum("bd,dcw->bcw", x_emb, kernel_dev,
+                                precision=PRECISION_SELECT)
+            )
             if method == "pallas":
                 _, flat_idx, ok = pallas_search.two_pass_search(
                     y, self.window_norms(), g, k=k, n_out=n_out,
@@ -452,20 +509,11 @@ class PathShadowing:
             raise ValueError(f"unknown method {method!r}")
 
         w_extract = x_context.shape[-1] + self.context.get_out_times()
-        paths, idces = _extract_paths(y, flat_idx, n_out=n_out, w_extract=w_extract)
-
-        # exact distances on the winners (direct definition, highest precision)
-        in_paths = self.context.select_in_context(paths)
-        dists = _exact_rescore(
-            x_emb, in_paths, jnp.asarray(self.embedding.kernel),
-            distance=self.distance,
+        return _finalize_shadow(
+            y, flat_idx, x_emb, jnp.asarray(self.embedding.kernel),
+            n_out=n_out, w_extract=w_extract, distance=self.distance,
+            select_in=self.context.select_in_context,
         )
-        order = jnp.argsort(dists, axis=-1)
-        dists = jnp.take_along_axis(dists, order, axis=-1)
-        paths = jnp.take_along_axis(paths, order[..., None, None], axis=1)
-        idces = jnp.take_along_axis(idces, order[..., None], axis=1)
-
-        return dists, paths, idces
 
     # -- prediction --------------------------------------------------------
     @staticmethod
@@ -488,18 +536,18 @@ class PathShadowing:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Aggregate a functional of the out-context over shadowing paths.
 
-        Unlike the reference (``path_shadowing.py:251-252``) the functional is
-        evaluated once, not twice.
+        Unlike the reference (``path_shadowing.py:251-252``) the functional
+        is evaluated once, not twice — and the whole aggregation runs as one
+        jitted dispatch (traced per distinct ``to_predict`` callable), since
+        eager per-op dispatch dominates the cost on remote devices.
         """
-        out = self.context.select_out_context(jnp.asarray(paths))
-        proba = self.init_averaging_proba(
-            proba_name, jnp.asarray(distances)[:, :, None], eta
+        avg, std = _aggregate_predictions(
+            jnp.asarray(distances), jnp.asarray(paths),
+            to_predict=to_predict, proba_name=proba_name,
+            eta=eta if eta is None else float(eta),
+            select_out=self.context.select_out_context,
         )
-        values = jnp.asarray(to_predict(out))
-        return (
-            as_numpy(proba.avg(values, axis=1)),
-            as_numpy(proba.std(values, axis=1)),
-        )
+        return as_numpy(avg), as_numpy(std)
 
     def conditional_smile(
         self,
