@@ -101,3 +101,31 @@ def test_uneven_shard_raises(rng):
             jnp.asarray(y), jnp.zeros((60, n_out)), g, x_norm2,
             k=4, n_out=n_out, distance=RelativeMSE(), mesh=mesh,
         )
+
+
+def test_mesh_search_multiple_contexts(rng):
+    """B=3 contexts, 8-device mesh: per-context results must match the
+    single-device tournament on the same scores."""
+    y, kernel, n_out, x_emb, x_norm2, g = _setup(rng, R=128, T=256, B=3)
+    mesh = data_mesh(8)
+    y_sh = shard_dataset(jnp.asarray(y), mesh)
+    norms = _window_norms(jnp.asarray(y), kernel, n_out=n_out, n_splits=1,
+                          identity_fast=True)
+    norms_sh = jax.device_put(
+        norms,
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None)),
+    )
+    vals, idx, ok = sharded_fused_search(
+        y_sh, norms_sh, g, x_norm2, k=12, n_out=n_out,
+        distance=RelativeMSE(), mesh=mesh,
+    )
+    assert np.asarray(ok).all()
+    mesh1 = data_mesh(1)
+    v1, i1, ok1 = sharded_fused_search(
+        shard_dataset(jnp.asarray(y), mesh1),
+        jax.device_put(norms, jax.sharding.NamedSharding(
+            mesh1, jax.sharding.PartitionSpec("data", None))),
+        g, x_norm2, k=12, n_out=n_out, distance=RelativeMSE(), mesh=mesh1,
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(v1), rtol=1e-6)
