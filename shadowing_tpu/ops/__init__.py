@@ -1,1 +1,9 @@
-
+"""TPU ops: exact tournament top-k, sliding correlations, Pallas search."""
+from shadowing_tpu.ops.sliding import sliding_dot
+from shadowing_tpu.ops.topk import (
+    TopKResult,
+    merge_min,
+    topk_min,
+    topk_min_checked,
+    topk_min_sort,
+)
