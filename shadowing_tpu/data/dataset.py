@@ -64,6 +64,10 @@ def _load_shards(files: Sequence[Path], R: Optional[int]) -> list[np.ndarray]:
         return load_npy_batch([str(f) for f in files], R)
     except ImportError:
         pass
+    except (ValueError, OSError):
+        # header-parsing or IO failure in the fast path: the numpy fallback
+        # below re-reads everything through np.load
+        pass
 
     arrays: list[np.ndarray] = []
     total = 0

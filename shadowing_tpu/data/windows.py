@@ -6,9 +6,10 @@ cell 5): windows of width ``w`` and stride ``s`` are stacked on a new axis
 inserted *before* the time axis, so a ``(..., T)`` input becomes
 ``(..., n_windows, w)``.
 
-Implemented with ``numpy.lib.stride_tricks`` on host arrays (zero-copy view)
-and with gather on JAX arrays, so it is usable both for data preparation and
-inside jitted code (static ``w``/``s``/``offset``).
+Implemented with ``numpy.lib.stride_tricks`` on host arrays (a strided view
+materialised into one contiguous copy — downstream device transfers need
+contiguous memory) and with gather on JAX arrays, so it is usable both for
+data preparation and inside jitted code (static ``w``/``s``/``offset``).
 """
 from __future__ import annotations
 

@@ -20,11 +20,21 @@ import numpy as np
 from shadowing_tpu.native._npyloader import read_files_parallel  # noqa: F401
 
 
+def _read_header(fobj):
+    """(shape, fortran, dtype) of an open .npy stream via numpy's public
+    format API (``read_array_header_1_0/2_0`` keyed on the magic version)."""
+    version = np.lib.format.read_magic(fobj)
+    if version == (1, 0):
+        return np.lib.format.read_array_header_1_0(fobj)
+    if version == (2, 0):
+        return np.lib.format.read_array_header_2_0(fobj)
+    raise ValueError(f"unsupported .npy format version {version}")
+
+
 def _parse_npy(buf: bytearray) -> np.ndarray:
     """Zero-copy ndarray view over a raw .npy file buffer."""
     bio = io.BytesIO(buf)
-    version = np.lib.format.read_magic(bio)
-    shape, fortran, dtype = np.lib.format._read_array_header(bio, version)
+    shape, fortran, dtype = _read_header(bio)
     offset = bio.tell()
     arr = np.frombuffer(buf, dtype=dtype, offset=offset)
     arr = arr.reshape(shape, order="F" if fortran else "C")
@@ -44,8 +54,7 @@ def load_npy_batch(
         needed, rows = [], 0
         for p in paths:
             with open(p, "rb") as f:
-                version = np.lib.format.read_magic(f)
-                shape, _, _ = np.lib.format._read_array_header(f, version)
+                shape, _, _ = _read_header(f)
             needed.append(p)
             rows += shape[0]
             if rows >= R:

@@ -46,7 +46,9 @@ _RIDGE = 1e-9
 
 
 def _hat_basis(s: jax.Array, knots: jax.Array) -> jax.Array:
-    """Piecewise-linear hat functions with linear extrapolation tails.
+    """Piecewise-linear hat functions with constant extrapolation tails
+    (evaluation points are clipped to the knot range, so the regression is
+    flat beyond the outermost knots).
 
     :param s: (N,) evaluation points
     :param knots: (m,) increasing knot positions

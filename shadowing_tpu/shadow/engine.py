@@ -50,8 +50,20 @@ from shadowing_tpu.shadow.embedding import PathEmbedding
 from shadowing_tpu.stats.proba import DiscreteProba, Softmax, Uniform
 
 _DN = ("NCH", "OIH", "NCH")
-#: memory budget for intermediate score/embedding tensors (bytes)
-MEMORY_BUDGET = 4 << 30
+
+
+def _memory_budget() -> int:
+    """Byte budget for intermediate score/embedding tensors: a quarter of
+    the backend device's memory when it reports one (leaving room for the
+    dataset, norms and XLA workspace), else a 4 GB fallback."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+        if limit:
+            return max(int(limit) // 4, 256 << 20)
+    except Exception:
+        pass
+    return 4 << 30
 #: contraction precision for selection scores (3-pass bf16 ≈ f32)
 PRECISION_SELECT = jax.lax.Precision.HIGH
 #: contraction precision for exact rescoring / direct oracle
@@ -350,7 +362,7 @@ class PathShadowing:
         else:
             per_row = n_out * (d + 2 * B) * 4  # embeddings + broadcast dists
         total = R * per_row
-        return max(1, -(-total // MEMORY_BUDGET))
+        return max(1, -(-total // _memory_budget()))
 
     def _pallas_ok(self, kernel: np.ndarray) -> bool:
         """Whether the fused Pallas two-pass search applies: TPU backend,
@@ -451,6 +463,10 @@ class PathShadowing:
             )
         if n_splits is None:
             n_splits = self._auto_splits(B, n_out, d, method)
+        # each chunk must hold at least k candidates (chunk-local top-k),
+        # so clamp user/auto splits — the split-invariance contract says any
+        # n_splits returns identical results, never an opaque top_k error
+        n_splits = max(1, min(n_splits, (self.y.shape[0] * n_out) // k))
 
         y = self.y
         if y.shape[0] * y.shape[2] >= np.iinfo(np.int32).max:

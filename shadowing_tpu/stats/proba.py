@@ -56,9 +56,19 @@ class Softmax(DiscreteProba):
     def weights_like(self, x: Array, axis: int) -> Array:
         x = jnp.asarray(x)
         z = -0.5 * (self.distances / self.eta) ** 2
-        # align to x: append trailing singleton axes
+        # align to x: drop trailing singleton axes beyond x's rank, then
+        # append trailing singletons — so (B, k, 1) distances pair with a
+        # (B, k) statistic instead of mis-broadcasting over the paths axis
+        while z.ndim > x.ndim and z.shape[-1] == 1:
+            z = z[..., 0]
         while z.ndim < x.ndim:
             z = z[..., None]
+        ax = axis % x.ndim
+        if z.shape[ax] != x.shape[ax]:
+            raise ValueError(
+                f"Softmax distances of shape {self.distances.shape} do not "
+                f"align with values of shape {x.shape} over axis {axis}"
+            )
         z = z - z.max(axis=axis, keepdims=True)  # stabilised over the paths axis
         w = jnp.exp(z)
         return w / w.sum(axis=axis, keepdims=True)

@@ -87,6 +87,23 @@ class TestProba:
         np.testing.assert_allclose(np.asarray(s.avg(x, axis=1)), nearest,
                                    rtol=1e-4)
 
+    def test_softmax_scalar_statistic_alignment(self, rng):
+        """(B, k, 1) distances must pair with a (B, k) scalar-per-path
+        statistic (trailing singletons squeezed, not mis-broadcast)."""
+        B, k = 3, 3  # k == B: the silently-wrong case without alignment
+        d = rng.uniform(0.1, 1.0, size=(B, k))
+        x = rng.normal(size=(B, k))
+        got = np.asarray(Softmax(d[:, :, None], eta=0.3).avg(x, axis=1))
+        w = np.exp(-0.5 * (d / 0.3) ** 2)
+        w /= w.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(got, (w * x).sum(1), rtol=1e-5)
+
+    def test_softmax_misaligned_raises(self, rng):
+        d = rng.uniform(0.1, 1.0, size=(2, 16))
+        x = rng.normal(size=(2, 8, 3))
+        with pytest.raises(ValueError, match="align"):
+            Softmax(d, eta=0.3).avg(x, axis=1)
+
     def test_softmax_weights_formula(self, rng):
         d = rng.uniform(0.1, 1.0, size=8)
         eta = 0.3
