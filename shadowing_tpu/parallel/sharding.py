@@ -1,23 +1,33 @@
-"""Multi-chip sharding of the shadow search and synthesis training step.
+"""Multi-chip sharding of the shadow pipeline and synthesis training step.
 
 The reference has no distributed layer at all (SURVEY.md §0: its only
 multi-worker story is job-array generation sharding). The TPU-native design
 is single-controller JAX over a 1-d device mesh:
 
-* **Shadow search**: the dataset axis R is sharded across the mesh
+* **Shadow pipeline**: the dataset axis R is sharded across the mesh
   (``P("data")``); contexts and the embedding kernel are replicated. Each
-  device runs the same fused scoring + tournament top-k on its local shard,
-  then the per-device (value, global-index) candidates ride ICI through one
-  ``all_gather`` and an exact k-way merge — exactness is the same
+  device runs the *same* fused scoring + tournament top-k the single-chip
+  engine uses (:func:`shadowing_tpu.shadow.engine._fused_search` — Toeplitz
+  ``sliding_dot`` cross term, block-min tournament selection; or the Pallas
+  two-pass kernel where eligible), then the per-device (value, global-index)
+  candidates ride ICI through one ``all_gather`` and an exact k-way merge.
+  Path extraction gathers each winner on the device that owns its trajectory
+  and ``psum``-reduces the disjoint contributions; the exact rescore + sort
+  run replicated on the tiny (B, k) winner set. Exactness is the same
   streaming-merge property the single-chip engine tests (chunk invariance),
   lifted to devices, so mesh size 1 vs N give identical results.
+* **Padding, not errors**: datasets whose R does not divide the mesh are
+  zero-padded (:func:`shard_dataset`); padded rows get ``+inf`` window norms
+  (:func:`sharded_window_norms`) so they can never win a selection.
 * **Synthesis step**: scattering-spectra generation is data-parallel over
   seeds: each device Adam-steps its own seed shard against the replicated
   target statistics; only the scalar convergence metric is ``psum``-reduced.
   (Seeds are independent optimisations — the ideal dp workload.)
 
 Everything here works on any backend; the tests exercise an 8-virtual-device
-CPU mesh and the driver dry-runs the same code path.
+CPU mesh and the driver dry-runs the same code path. Engine integration:
+``PathShadowing(..., mesh=...)`` routes the whole pipeline through these
+functions (``shadowing_tpu/shadow/engine.py``).
 """
 from __future__ import annotations
 
@@ -30,7 +40,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from shadowing_tpu.models.scattering.moments import _scattering_stats_flat
-from shadowing_tpu.ops import topk as topk_ops
 
 DATA_AXIS = "data"
 
@@ -47,74 +56,265 @@ def data_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 
 
+def pad_rows_to_mesh(a: jax.Array, mesh: Mesh) -> jax.Array:
+    """Zero-pad axis 0 to a multiple of the mesh size."""
+    n_dev = mesh.shape[DATA_AXIS]
+    pad = (-a.shape[0]) % n_dev
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+    return a
+
+
 def shard_dataset(y: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place a ``(R, C, T)`` dataset with R sharded across the mesh."""
-    return jax.device_put(y, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    """Place a ``(R, C, T)`` dataset with R sharded across the mesh.
+
+    R is zero-padded to a multiple of the mesh size; callers track the true
+    row count (padded rows are neutralised by ``+inf`` window norms).
+    """
+    y = pad_rows_to_mesh(jnp.asarray(y), mesh)
+    spec = P(DATA_AXIS, *([None] * (y.ndim - 1)))
+    return jax.device_put(y, NamedSharding(mesh, spec))
+
+
+def replicate(a: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place an array fully replicated over the mesh."""
+    return jax.device_put(a, NamedSharding(mesh, P()))
+
+
+# --------------------------------------------------------------------------
+# sharded shadow pipeline (wraps the engine's single-device kernels)
+# --------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("n_out", "n_splits", "identity_fast", "R_true", "mesh"),
+)
+def sharded_window_norms(
+    y: jax.Array,            # (R_pad, C, T), R sharded over mesh
+    kernel: jax.Array,       # (d, C, Kw) replicated
+    n_out: int,
+    n_splits: int,
+    identity_fast: bool,
+    R_true: int,
+    mesh: Mesh,
+) -> jax.Array:              # (R_pad, n_out) sharded; +inf on padded rows
+    from shadowing_tpu.shadow.engine import _window_norms
+
+    n_dev = mesh.shape[DATA_AXIS]
+    r_loc = y.shape[0] // n_dev
+
+    def local(y_loc):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        n = _window_norms(y_loc, kernel, n_out=n_out, n_splits=n_splits,
+                          identity_fast=identity_fast)
+        grow = ax * r_loc + jnp.arange(r_loc, dtype=jnp.int32)
+        return jnp.where((grow < R_true)[:, None], n, jnp.inf)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None),),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )(y)
 
 
 @partial(
     jax.jit,
-    static_argnames=("k", "n_out", "distance", "mesh", "block", "cap"),
+    static_argnames=("k", "n_out", "n_splits", "distance", "mesh", "block",
+                     "cap", "local_method"),
 )
 def sharded_fused_search(
-    y: jax.Array,          # (R, C, T), R sharded over mesh
-    norms: jax.Array,      # (R, n_out), R sharded
+    y: jax.Array,          # (R_pad, C, T), R sharded over mesh
+    norms: jax.Array,      # (R_pad, n_out), R sharded, +inf on padded rows
     g: jax.Array,          # (B, C, Kw) combined filters, replicated
     x_norm2: jax.Array,    # (B,)
     k: int,
     n_out: int,
     distance,
     mesh: Mesh,
+    n_splits: int = 1,
     block: int = 128,
     cap: Optional[int] = None,
+    local_method: str = "fused",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Mesh-sharded fused shadow search.
+    """Mesh-sharded fused shadow search on the single-chip fast kernels.
+
+    Per device: the engine's ``_fused_search`` (Toeplitz ``sliding_dot``
+    cross term + tournament top-k, scanned over ``n_splits`` local chunks)
+    or, with ``local_method="pallas"`` on TPU, the fused two-pass Pallas
+    kernel. Then one ICI ``all_gather`` of the (B, k_loc) candidate pairs
+    and an exact merge — collective payload is O(B * k * devices),
+    independent of R.
 
     Returns (values (B, k) ascending, global flat indices (B, k), ok (B,)).
-    Per-device local top-k then one ICI ``all_gather`` of (B, k) candidate
-    pairs and an exact merge — collective payload is O(B * k * devices),
-    independent of R.
     """
-    R = y.shape[0]
+    from shadowing_tpu.ops import pallas_search
+    from shadowing_tpu.shadow.engine import _fused_search
+
     n_dev = mesh.shape[DATA_AXIS]
+    R = y.shape[0]
     if R % n_dev:
-        raise ValueError(f"R={R} must divide over {n_dev} devices")
+        raise ValueError(
+            f"R={R} not a multiple of the {n_dev}-device mesh — place the "
+            "dataset with shard_dataset (it pads)"
+        )
     r_loc = R // n_dev
+    k_loc = min(k, r_loc * n_out)
+    ns = max(1, min(n_splits, (r_loc * n_out) // k_loc))
 
-    def local_search(y_loc, nrm_loc):
-        axis = jax.lax.axis_index(DATA_AXIS)
-        cross = jax.lax.conv_general_dilated(
-            y_loc, g, (1,), "VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        )[..., :n_out]
-        cross = jnp.moveaxis(cross, 1, 0)              # (B, r_loc, n_out)
-        s = distance.score(x_norm2[:, None, None], cross, nrm_loc[None])
-        s = s.reshape(s.shape[0], -1)
-        vals, idx, ok = jax.vmap(
-            lambda row: topk_ops.topk_min(row, k, block, cap)
-        )(s)
-        idx = idx + axis.astype(jnp.int32) * (r_loc * n_out)
+    def local(y_loc, n_loc):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        if local_method == "pallas":
+            vals, idx, ok = pallas_search.two_pass_search(
+                y_loc, n_loc, g, k=k_loc, n_out=n_out, cap=cap
+            )
+        else:
+            vals, idx, ok = _fused_search(
+                y_loc, n_loc, g, x_norm2, k=k_loc, n_out=n_out,
+                n_splits=ns, distance=distance, block=block, cap=cap,
+            )
+        idx = idx + ax.astype(jnp.int32) * (r_loc * n_out)
 
-        # ride ICI: gather every device's k candidates, merge exactly
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS)   # (n_dev, B, k)
+        # ride ICI: gather every device's candidates, merge exactly
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS)   # (n_dev, B, k_loc)
         idx_all = jax.lax.all_gather(idx, DATA_AXIS)
-        vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(vals.shape[0], -1)
-        idx_all = jnp.moveaxis(idx_all, 0, 1).reshape(vals.shape[0], -1)
+        B = vals.shape[0]
+        vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(B, -1)
+        idx_all = jnp.moveaxis(idx_all, 0, 1).reshape(B, -1)
         neg, sel = jax.lax.top_k(-vals_all, k)
         merged_i = jnp.take_along_axis(idx_all, sel, axis=-1)
         ok_all = jax.lax.all_gather(ok, DATA_AXIS).all(axis=0)
         return -neg, merged_i, ok_all
 
     return jax.shard_map(
-        local_search,
-        mesh=mesh,
+        local, mesh=mesh,
         in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(y, norms)
 
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "n_out", "n_splits", "distance", "R_true", "mesh"),
+)
+def sharded_direct_search(
+    y: jax.Array,          # (R_pad, C, T), R sharded over mesh
+    x_emb: jax.Array,      # (B, d) replicated
+    kernel: jax.Array,     # (d, C, Kw) replicated
+    k: int,
+    n_out: int,
+    distance,
+    R_true: int,
+    mesh: Mesh,
+    n_splits: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mesh-sharded literal oracle (sort-exact top-k per device + merge)."""
+    from shadowing_tpu.shadow.engine import _direct_search
+
+    n_dev = mesh.shape[DATA_AXIS]
+    r_loc = y.shape[0] // n_dev
+    k_loc = min(k, r_loc * n_out)
+    ns = max(1, min(n_splits, (r_loc * n_out) // k_loc))
+
+    def local(y_loc):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        # mask padding rows globally: rows at ax*r_loc + i >= R_true
+        r_valid = jnp.clip(R_true - ax * r_loc, 0, r_loc)
+        vals, idx = _direct_search(
+            y_loc, x_emb, kernel, k=k_loc, n_out=n_out, n_splits=ns,
+            distance=distance, n_valid_rows=r_valid,
+        )
+        idx = idx + ax.astype(jnp.int32) * (r_loc * n_out)
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS)
+        idx_all = jax.lax.all_gather(idx, DATA_AXIS)
+        B = vals.shape[0]
+        vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(B, -1)
+        idx_all = jnp.moveaxis(idx_all, 0, 1).reshape(B, -1)
+        neg, sel = jax.lax.top_k(-vals_all, k)
+        return -neg, jnp.take_along_axis(idx_all, sel, axis=-1)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None),),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(y)
+
+
+@partial(jax.jit, static_argnames=("n_out", "w_extract", "mesh"))
+def sharded_extract(
+    y: jax.Array,          # (R_pad, C, T), R sharded over mesh
+    flat_idx: jax.Array,   # (B, k) global flat indices, replicated
+    n_out: int,
+    w_extract: int,
+    mesh: Mesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather winner windows from the sharded dataset.
+
+    Each device extracts the winners whose trajectory lives on its shard and
+    contributes zeros elsewhere; one ``psum`` assembles the replicated
+    (B, k, C, w_extract) result — payload O(B * k * w), independent of R.
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    r_loc = y.shape[0] // n_dev
+    traj = flat_idx // n_out
+    t0 = flat_idx % n_out
+
+    def local(y_loc):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        ltraj = traj - ax * r_loc
+        mask = (ltraj >= 0) & (ltraj < r_loc)
+        lt = jnp.clip(ltraj, 0, r_loc - 1)
+        C, T = y_loc.shape[1], y_loc.shape[2]
+        locators = lt * T + t0                               # (B, k)
+        flat = jnp.moveaxis(y_loc, 1, 0).reshape(C, r_loc * T)
+        gather = flat[:, locators[..., None] + jnp.arange(w_extract)]
+        paths = jnp.moveaxis(gather, 0, 2)                   # (B, k, C, w)
+        paths = jnp.where(mask[..., None, None], paths, 0.0)
+        return jax.lax.psum(paths, DATA_AXIS)
+
+    paths = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None),),
+        out_specs=P(),
+        check_vma=False,
+    )(y)
+    idces = jnp.stack([traj, t0], axis=-1).astype(jnp.int32)
+    return paths, idces
+
+
+@partial(jax.jit, static_argnames=("n_out", "w_extract", "distance",
+                                   "select_in", "mesh"))
+def sharded_finalize_shadow(
+    y: jax.Array,
+    flat_idx: jax.Array,
+    x_emb: jax.Array,
+    kernel: jax.Array,
+    n_out: int,
+    w_extract: int,
+    distance,
+    select_in,
+    mesh: Mesh,
+):
+    """Sharded extraction + replicated exact rescore + ascending sort —
+    the mesh twin of the engine's ``_finalize_shadow``, one dispatch."""
+    from shadowing_tpu.shadow.engine import _exact_rescore
+
+    paths, idces = sharded_extract(y, flat_idx, n_out=n_out,
+                                   w_extract=w_extract, mesh=mesh)
+    in_paths = select_in(paths)
+    dists = _exact_rescore(x_emb, in_paths, kernel, distance=distance)
+    order = jnp.argsort(dists, axis=-1)
+    dists = jnp.take_along_axis(dists, order, axis=-1)
+    paths = jnp.take_along_axis(paths, order[..., None, None], axis=1)
+    idces = jnp.take_along_axis(idces, order[..., None], axis=1)
+    return dists, paths, idces
+
+
+# --------------------------------------------------------------------------
+# data-parallel synthesis step
+# --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("J", "mesh", "lr"))
 def sharded_synthesis_step(

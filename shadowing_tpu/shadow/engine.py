@@ -192,10 +192,15 @@ def _direct_search(
     n_out: int,
     n_splits: int,
     distance: PathDistance,
+    n_valid_rows: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Literal oracle: embed every window, broadcast the distance, sort-exact
-    top-k — the reference algorithm (``path_shadowing.py:147-173``) in XLA."""
-    R = y.shape[0]
+    top-k — the reference algorithm (``path_shadowing.py:147-173``) in XLA.
+
+    ``n_valid_rows`` (traced, default all) masks trailing rows — mesh shards
+    use it to neutralise global zero-padding rows.
+    """
+    R = y.shape[0] if n_valid_rows is None else n_valid_rows
     B = x_emb.shape[0]
     y, chunk = _pad_rows(y, n_splits)
     y_chunks = y.reshape(n_splits, chunk, *y.shape[1:])
@@ -320,6 +325,12 @@ class PathShadowing:
         :class:`TimeSeriesDataset`
     :param context: what is matched vs predicted
         (default: :class:`PredictionContext` with no horizon)
+    :param mesh: run the whole pipeline sharded over a device mesh — a
+        ``jax.sharding.Mesh`` (1-d), a device count (builds one), or ``None``
+        (single device). The dataset axis R is sharded (zero-padded to the
+        mesh size, padded rows neutralised by ``+inf`` norms); search,
+        extraction and rescore run per-device with one ICI ``all_gather`` /
+        ``psum`` each; results are array-identical to ``mesh=None``.
     """
 
     def __init__(
@@ -328,6 +339,7 @@ class PathShadowing:
         distance: PathDistance,
         dataset: Union[Array, Path, str, TimeSeriesDataset],
         context: Optional[ContextManager] = None,
+        mesh=None,
     ):
         if isinstance(dataset, (str, Path)):
             dataset = TimeSeriesDataset(dpath=dataset, R=None)
@@ -337,16 +349,36 @@ class PathShadowing:
         self.embedding = embedding
         self.distance = distance
         self.context = context or PredictionContext(horizon=None)
+        if mesh is not None and not hasattr(mesh, "shape"):
+            from shadowing_tpu.parallel.sharding import data_mesh
 
-        self._y: Optional[jax.Array] = None       # device dataset (R, C, T)
+            mesh = data_mesh(int(mesh))
+        self.mesh = mesh
+
+        self._y: Optional[jax.Array] = None       # device dataset (R', C, T)
         self._norms: Optional[jax.Array] = None   # cached window norms
+        self._R: Optional[int] = None             # true trajectory count
 
     # -- device state ----------------------------------------------------
     @property
     def y(self) -> jax.Array:
+        """Device dataset — R zero-padded to the mesh size in mesh mode."""
         if self._y is None:
-            self._y = as_jax_f32(dim_bct(jnp.asarray(self.dataset)))
+            y = as_jax_f32(dim_bct(jnp.asarray(self.dataset)))
+            self._R = y.shape[0]
+            if self.mesh is not None:
+                from shadowing_tpu.parallel.sharding import shard_dataset
+
+                y = shard_dataset(y, self.mesh)
+            self._y = y
         return self._y
+
+    @property
+    def R(self) -> int:
+        """True trajectory count (excluding mesh padding rows)."""
+        if self._R is None:
+            self.y  # materialise
+        return self._R
 
     def _plan(self) -> tuple[np.ndarray, int]:
         T = dim_bct(self.dataset).shape[-1]
@@ -355,6 +387,9 @@ class PathShadowing:
     def _auto_splits(self, B: int, n_out: int, d: int,
                      method: str = "direct") -> int:
         R = self.y.shape[0]
+        if self.mesh is not None:
+            # per-device chunking: each device streams only its own shard
+            R = -(-R // self.mesh.shape["data"])
         if method == "fused":
             # fused never materialises per-window embeddings: per chunk it
             # holds the cross term and the scores, (B x r x n_out) each
@@ -377,7 +412,11 @@ class PathShadowing:
         )
 
     def window_norms(self, n_splits: Optional[int] = None) -> jax.Array:
-        """``‖h(y_t)‖²`` for every window — cached per engine instance."""
+        """``‖h(y_t)‖²`` for every window — cached per engine instance.
+
+        In mesh mode the norms are computed shard-locally and padded rows
+        get ``+inf`` so they can never win a selection.
+        """
         if self._norms is None:
             kernel, n_out = self._plan()
             if n_splits is None:
@@ -388,10 +427,21 @@ class PathShadowing:
                 (np.count_nonzero(kernel.reshape(kernel.shape[0], -1),
                                   axis=1) <= 1).all()
             )
-            self._norms = _window_norms(
-                self.y, jnp.asarray(kernel), n_out=n_out, n_splits=n_splits,
-                identity_fast=diag,
-            )
+            if self.mesh is not None:
+                from shadowing_tpu.parallel.sharding import (
+                    sharded_window_norms,
+                )
+
+                self._norms = sharded_window_norms(
+                    self.y, jnp.asarray(kernel), n_out=n_out,
+                    n_splits=n_splits, identity_fast=diag, R_true=self.R,
+                    mesh=self.mesh,
+                )
+            else:
+                self._norms = _window_norms(
+                    self.y, jnp.asarray(kernel), n_out=n_out,
+                    n_splits=n_splits, identity_fast=diag,
+                )
         return self._norms
 
     # -- search ------------------------------------------------------------
@@ -439,7 +489,7 @@ class PathShadowing:
         kernel, n_out = self._plan()
         B = x_context.shape[0]
         d = self.embedding.dim
-        n_candidates = self.y.shape[0] * n_out
+        n_candidates = self.R * n_out
         if not 1 <= k <= n_candidates:
             raise ValueError(
                 f"k={k} must be in [1, {n_candidates}] "
@@ -466,14 +516,18 @@ class PathShadowing:
         # each chunk must hold at least k candidates (chunk-local top-k),
         # so clamp user/auto splits — the split-invariance contract says any
         # n_splits returns identical results, never an opaque top_k error
-        n_splits = max(1, min(n_splits, (self.y.shape[0] * n_out) // k))
+        n_splits = max(1, min(n_splits, (self.R * n_out) // k))
 
         y = self.y
-        if y.shape[0] * y.shape[2] >= np.iinfo(np.int32).max:
-            # path extraction flattens to traj * T + t in int32
+        rows_per_device = (
+            y.shape[0] // self.mesh.shape["data"] if self.mesh is not None
+            else y.shape[0]
+        )
+        if rows_per_device * y.shape[2] >= np.iinfo(np.int32).max:
+            # path extraction flattens to traj * T + t in int32, per device
             raise ValueError(
-                "R * T exceeds int32 — shard the dataset over a mesh "
-                "(see shadowing_tpu.parallel)"
+                "rows-per-device * T exceeds int32 — shard the dataset over "
+                "a (larger) mesh (PathShadowing(..., mesh=...))"
             )
         kernel_dev = jnp.asarray(kernel)
         # context embedding needs the *unadjusted* kernel (its width equals
@@ -481,6 +535,12 @@ class PathShadowing:
         x_emb, x_norm2, g_raw = _prep_context(
             jnp.asarray(x_context), jnp.asarray(self.embedding.kernel)
         )
+
+        if self.mesh is not None:
+            return self._shadow_mesh(
+                x_context, k, n_splits, method, tournament_cap,
+                kernel, n_out, x_emb, x_norm2, g_raw,
+            )
 
         if method in ("fused", "pallas"):
             # combined filters over the context-adjusted kernel
@@ -529,6 +589,59 @@ class PathShadowing:
             y, flat_idx, x_emb, jnp.asarray(self.embedding.kernel),
             n_out=n_out, w_extract=w_extract, distance=self.distance,
             select_in=self.context.select_in_context,
+        )
+
+    def _shadow_mesh(
+        self, x_context, k, n_splits, method, tournament_cap,
+        kernel, n_out, x_emb, x_norm2, g_raw,
+    ):
+        """Mesh twin of the single-device search + finalize flow: per-device
+        fast kernels, ICI all_gather k-merge, sharded extraction, replicated
+        exact rescore — results array-identical to ``mesh=None``."""
+        from shadowing_tpu.parallel import sharding as psh
+
+        kernel_dev = jnp.asarray(kernel)
+        y = self.y
+        d = self.embedding.dim
+
+        if method in ("fused", "pallas"):
+            g = (
+                g_raw
+                if kernel.shape == self.embedding.kernel.shape
+                else jnp.einsum("bd,dcw->bcw", x_emb, kernel_dev,
+                                precision=PRECISION_SELECT)
+            )
+            _, flat_idx, ok = psh.sharded_fused_search(
+                y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
+                distance=self.distance, mesh=self.mesh, n_splits=n_splits,
+                cap=tournament_cap,
+                local_method="pallas" if method == "pallas" else "fused",
+            )
+            ok_host = np.asarray(ok)
+            if not ok_host.all():
+                redo = np.nonzero(~ok_host)[0]
+                _, idx_exact = psh.sharded_direct_search(
+                    y, x_emb[redo], kernel_dev, k=k, n_out=n_out,
+                    distance=self.distance, R_true=self.R, mesh=self.mesh,
+                    n_splits=self._auto_splits(len(redo), n_out, d, "direct"),
+                )
+                flat_idx = np.array(flat_idx)  # writable host copy
+                flat_idx[redo] = np.asarray(idx_exact)
+                flat_idx = jnp.asarray(flat_idx)
+        elif method == "direct":
+            _, flat_idx = psh.sharded_direct_search(
+                y, x_emb, kernel_dev, k=k, n_out=n_out,
+                distance=self.distance, R_true=self.R, mesh=self.mesh,
+                n_splits=n_splits,
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+        w_extract = x_context.shape[-1] + self.context.get_out_times()
+        return psh.sharded_finalize_shadow(
+            y, flat_idx, x_emb, jnp.asarray(self.embedding.kernel),
+            n_out=n_out, w_extract=w_extract, distance=self.distance,
+            select_in=self.context.select_in_context, mesh=self.mesh,
         )
 
     # -- prediction --------------------------------------------------------

@@ -129,3 +129,89 @@ def test_mesh_search_multiple_contexts(rng):
     )
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(v1), rtol=1e-6)
+
+
+class TestEngineMesh:
+    """PathShadowing(mesh=...) — the whole public pipeline sharded."""
+
+    def _problem(self, rng, R=100, T=256, w=16, h=8, B=3):
+        dataset = rng.normal(0, 0.02, size=(R, 1, T)).astype(np.float32)
+        ctx = rng.normal(0, 0.02, size=(B, 1, w)).astype(np.float32)
+        return dataset, ctx
+
+    @pytest.mark.parametrize("n_dev", [1, 8])
+    def test_shadow_matches_single_device(self, rng, n_dev):
+        """Mesh-size invariance through the public API, with an R that does
+        NOT divide the mesh (padding path)."""
+        from shadowing_tpu import PathShadowing, PredictionContext
+
+        dataset, ctx = self._problem(rng)  # R=100: uneven over 8
+        mk = lambda mesh: PathShadowing(
+            Identity(16), RelativeMSE(), dataset,
+            PredictionContext(horizon=8), mesh=mesh,
+        )
+        d0, p0, i0 = mk(None).shadow(ctx, k=24)
+        dm, pm, im = mk(n_dev).shadow(ctx, k=24)
+        np.testing.assert_array_equal(im, i0)
+        np.testing.assert_array_equal(dm, d0)
+        np.testing.assert_array_equal(pm, p0)
+
+    def test_direct_method_matches(self, rng):
+        from shadowing_tpu import PathShadowing, PredictionContext
+
+        dataset, ctx = self._problem(rng, R=64)
+        mk = lambda mesh: PathShadowing(
+            Identity(16), RelativeMSE(), dataset,
+            PredictionContext(horizon=8), mesh=mesh,
+        )
+        d0, _, i0 = mk(None).shadow(ctx, k=16, method="direct")
+        dm, _, im = mk(8).shadow(ctx, k=16, method="direct")
+        np.testing.assert_array_equal(im, i0)
+        np.testing.assert_array_equal(dm, d0)
+
+    def test_certification_fallback_on_mesh(self, rng):
+        """cap=1 forces the tournament to fail; the mesh engine must redo
+        the failed contexts with the sharded sort-exact oracle."""
+        from shadowing_tpu import PathShadowing, PredictionContext
+
+        dataset, ctx = self._problem(rng, R=64)
+        obj = PathShadowing(Identity(16), RelativeMSE(), dataset,
+                            PredictionContext(horizon=8), mesh=8)
+        d_ref, _, i_ref = obj.shadow(ctx, k=16)
+        d, p, i = obj.shadow_device(ctx, k=16, method="fused",
+                                    tournament_cap=1)
+        np.testing.assert_array_equal(np.asarray(i), i_ref)
+        np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-6)
+
+    def test_predict_matches_single_device(self, rng):
+        from shadowing_tpu import PathShadowing, PredictionContext
+        from shadowing_tpu.stats.realized import realized_variance
+
+        dataset, ctx = self._problem(rng, R=72)
+        to_pred = lambda x: realized_variance(x[:, :, 0, :], Ts=[2, 4],
+                                              vol=False)
+        mk = lambda mesh: PathShadowing(
+            Identity(16), RelativeMSE(), dataset,
+            PredictionContext(horizon=8), mesh=mesh,
+        )
+        a0, s0 = mk(None).predict(ctx, k=12, to_predict=to_pred, eta=0.1)
+        am, sm = mk(8).predict(ctx, k=12, to_predict=to_pred, eta=0.1)
+        np.testing.assert_allclose(am, a0, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(sm, s0, rtol=1e-5, atol=1e-9)
+
+    def test_rolling_backtest_on_mesh(self, rng):
+        from shadowing_tpu import PathShadowing, PredictionContext
+        from shadowing_tpu.backtest import rolling_backtest
+
+        dataset, _ = self._problem(rng, R=96, T=256)
+        series = rng.normal(0, 0.02, size=300).astype(np.float32)
+        mk = lambda mesh: PathShadowing(
+            Identity(16), RelativeMSE(), dataset,
+            PredictionContext(horizon=8), mesh=mesh,
+        )
+        r0 = rolling_backtest(mk(None), series, w=16, Ts=[2, 8], k=16,
+                              stride=16)
+        rm = rolling_backtest(mk(8), series, w=16, Ts=[2, 8], k=16,
+                              stride=16)
+        np.testing.assert_allclose(rm.predicted, r0.predicted, rtol=1e-6)
+        np.testing.assert_array_equal(rm.realized, r0.realized)
