@@ -59,6 +59,7 @@ _LAZY = {
     "DEFAULT2": "shadowing_tpu.models.pdv",
     # pricing
     "compute_smile": "shadowing_tpu.pricing.hedged_mc",
+    "compute_smile_batch": "shadowing_tpu.pricing.hedged_mc",
     "Smile": "shadowing_tpu.pricing.hedged_mc",
     # visualisation (imports matplotlib lazily)
     "plot_closest": "shadowing_tpu.viz.plots",

@@ -116,8 +116,7 @@ def _hmc_prices(
     return coef0[0]
 
 
-@partial(jax.jit, static_argnames=("Ts", "n_basis"))
-def _smile_all(xj, weights, Ms, s0, r, Ts, n_basis):
+def _smile_core(xj, weights, Ms, s0, r, Ts, n_basis):
     """Strikes / HMC prices / implied vols for every maturity, one graph."""
     dt = 1.0 / ANNUALIZATION
     discount = jnp.exp(jnp.asarray(-r * dt))
@@ -137,6 +136,21 @@ def _smile_all(xj, weights, Ms, s0, r, Ts, n_basis):
         sig_all.append(sigma_T)
     return (jnp.stack(strikes_all), jnp.stack(prices_all),
             jnp.stack(vols_all), jnp.stack(sig_all))
+
+
+_smile_all = jax.jit(_smile_core, static_argnames=("Ts", "n_basis"))
+
+
+@partial(jax.jit, static_argnames=("Ts", "n_basis"))
+def _smile_batch(xj, weights, Ms, s0, r, Ts, n_basis):
+    """All contexts' smiles in ONE dispatch: vmap over (paths, weights, s0).
+
+    A B-context conditional smile costs one compiled graph + one host fetch
+    instead of B of each (remote dispatch ~5 ms would dominate otherwise).
+    """
+    return jax.vmap(
+        lambda x, w, s: _smile_core(x, w, Ms, s, r, Ts, n_basis)
+    )(xj, weights, s0)
 
 
 @dataclass
@@ -234,3 +248,68 @@ def compute_smile(
         spot=s0,
         r=float(r),
     )
+
+
+def compute_smile_batch(
+    x: Array,
+    Ts: Sequence[int],
+    Ms: Sequence[float],
+    r: float = 0.0,
+    weights: Optional[Array] = None,
+    n_basis: int = 12,
+    validate: bool = True,
+) -> list:
+    """Hedged-MC smiles for a *batch* of path sets — ONE device dispatch.
+
+    The per-context pricing is a ``vmap`` over (paths, weights, spot), so a
+    B-context conditional smile costs the same number of dispatches as one
+    (the engine's ``conditional_smile`` routes through here).
+
+    :param x: ``(B, N, T+1)`` price paths; within each batch row all paths
+        share the row's initial price
+    :param weights: optional ``(B, N)`` path measures (rows need not be
+        normalised); ``None`` = uniform
+    :param validate: fetch the first prices once to check the common-S0
+        contract (engine-internal callers construct it exactly and skip)
+    :return: list of B :class:`Smile`
+    """
+    xj = jnp.asarray(x, dtype=jnp.float32)
+    if xj.ndim != 3:
+        raise ValueError(f"paths must be (B, N, T+1), got {xj.shape}")
+    B, N, _ = xj.shape
+    Ts = np.asarray(list(Ts), dtype=np.int64)
+    Ms_np = np.asarray(list(Ms), dtype=np.float64)
+    if Ts.max() > xj.shape[2] - 1:
+        raise ValueError(
+            f"max maturity {Ts.max()} exceeds path length {xj.shape[2] - 1}"
+        )
+    if weights is None:
+        w = jnp.full((B, N), 1.0 / N)
+    else:
+        w = jnp.asarray(weights, jnp.float32)
+        if w.shape != (B, N):
+            raise ValueError(f"weights must be (B, N)={B, N}, got {w.shape}")
+        w = w / w.sum(axis=1, keepdims=True)
+    s0 = xj[:, 0, 0]
+    if validate:
+        first = np.asarray(xj[:, :, 0])          # one host fetch for all B
+        if not np.allclose(first, first[:, :1], rtol=1e-5):
+            raise ValueError(
+                "all paths of a batch row must share that row's initial price"
+            )
+
+    strikes, prices, vols, sig = _smile_batch(
+        xj, w, jnp.asarray(Ms_np, jnp.float32), s0, float(r),
+        Ts=tuple(int(t) for t in Ts), n_basis=n_basis,
+    )
+    strikes = np.asarray(strikes, np.float64)
+    prices = np.asarray(prices)
+    vols = np.asarray(vols)
+    sig = np.asarray(sig)
+    s0_host = np.asarray(s0)
+    return [
+        Smile(Ts=Ts, Ms=Ms_np, strikes=strikes[b], prices=prices[b],
+              vols=vols[b], sigma_ref=sig[b], spot=float(s0_host[b]),
+              r=float(r))
+        for b in range(B)
+    ]

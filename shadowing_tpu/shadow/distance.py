@@ -41,6 +41,12 @@ class PathDistance:
         """Direct distance over the trailing embedding axis (broadcasting)."""
         raise NotImplementedError
 
+    def forward_host(self, x, y):
+        """``forward`` in host numpy at the inputs' dtype — float64 inputs
+        stay float64 (JAX would silently downcast without x64), used by the
+        engine's ``exact_dtype="float64"`` winner rescore."""
+        raise NotImplementedError
+
     # --- quadratic expansion hooks -------------------------------------
     def score(self, x_norm2: jax.Array, cross: jax.Array, y_norm2: jax.Array
               ) -> jax.Array:
@@ -122,6 +128,12 @@ class RelativeMSE(PathDistance):
         diff = jnp.linalg.norm(x - y, axis=-1)
         return diff / jnp.linalg.norm(x, axis=-1)
 
+    def forward_host(self, x, y):
+        import numpy as np
+
+        diff = np.linalg.norm(np.asarray(x) - np.asarray(y), axis=-1)
+        return diff / np.linalg.norm(np.asarray(x), axis=-1)
+
     def score(self, x_norm2, cross, y_norm2):
         return y_norm2 - 2.0 * cross
 
@@ -137,6 +149,11 @@ class MSE(PathDistance):
 
     def forward(self, x: Array, y: Array) -> jax.Array:
         return jnp.linalg.norm(jnp.asarray(x) - jnp.asarray(y), axis=-1)
+
+    def forward_host(self, x, y):
+        import numpy as np
+
+        return np.linalg.norm(np.asarray(x) - np.asarray(y), axis=-1)
 
     def score(self, x_norm2, cross, y_norm2):
         return y_norm2 - 2.0 * cross
@@ -156,6 +173,15 @@ class CosineDistance(PathDistance):
         num = (x * y).sum(axis=-1)
         den = jnp.linalg.norm(x, axis=-1) * jnp.linalg.norm(y, axis=-1)
         return 1.0 - num / jnp.maximum(den, 1e-30)
+
+    def forward_host(self, x, y):
+        import numpy as np
+
+        x = np.asarray(x)
+        y = np.asarray(y)
+        num = (x * y).sum(axis=-1)
+        den = np.linalg.norm(x, axis=-1) * np.linalg.norm(y, axis=-1)
+        return 1.0 - num / np.maximum(den, 1e-30)
 
     def score(self, x_norm2, cross, y_norm2):
         return -cross / jnp.sqrt(jnp.maximum(y_norm2, 1e-30))

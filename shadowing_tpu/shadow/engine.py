@@ -312,6 +312,22 @@ def _aggregate_predictions(distances, paths, to_predict, proba_name, eta,
     return proba.avg(values, axis=1), proba.std(values, axis=1)
 
 
+@partial(jax.jit, static_argnames=("eta", "x_init"))
+def _smile_inputs(dists, out_paths, eta: float, x_init: float):
+    """(B, k, h) futures -> (B, k, h+1) prices anchored at ``x_init`` plus
+    Gaussian-kernel path weights — one dispatch for all contexts."""
+    fut = out_paths[:, :, 0, :]                               # (B, k, h)
+    B, k, _ = fut.shape
+    lnx = jnp.concatenate(
+        [jnp.zeros((B, k, 1)), jnp.cumsum(fut, axis=-1)], axis=-1
+    )
+    prices = jnp.exp(lnx) * x_init
+    z = -0.5 * (dists / eta) ** 2
+    z = z - z.max(axis=1, keepdims=True)
+    w = jnp.exp(z)
+    return prices, w / w.sum(axis=1, keepdims=True)
+
+
 # --------------------------------------------------------------------------
 # engine
 # --------------------------------------------------------------------------
@@ -452,6 +468,7 @@ class PathShadowing:
         n_splits: Optional[int] = None,
         method: str = "auto",
         cuda: Optional[bool] = None,  # accepted for API parity; placement is JAX's
+        exact_dtype: str = "float32",
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Find the ``k`` dataset windows closest to each context.
 
@@ -460,13 +477,40 @@ class PathShadowing:
         :param n_splits: dataset chunks (``None``: sized from memory budget)
         :param method: ``"fused"`` (expanded scores + exact rescore),
             ``"direct"`` (literal oracle), or ``"auto"``
+        :param exact_dtype: ``"float64"`` re-scores the k winners on the host
+            in double precision (selection stays f32 on device) and re-sorts,
+            so returned distances match a float64 oracle to ~1e-15 — cheap
+            (``B*k*w`` elements) but adds one host round-trip
         :return: distances ``(B, k)`` ascending, paths
             ``(B, k, C, w + out_times)``, indices ``(B, k, 2)`` as
             ``(trajectory, window start)``
         """
         del cuda
         dists, paths, idces = self.shadow_device(x_context, k, n_splits, method)
+        if exact_dtype == "float64":
+            return self._rescore_host_f64(x_context, paths, idces)
+        if exact_dtype != "float32":
+            raise ValueError(f"exact_dtype must be float32/float64, got "
+                             f"{exact_dtype!r}")
         return as_numpy(dists), as_numpy(paths), as_numpy(idces)
+
+    def _rescore_host_f64(self, x_context, paths, idces):
+        """Re-score the winners in host float64 and re-sort (stable), closing
+        the f32 rounding gap between returned distances and a float64 oracle
+        (BASELINE.md parity row: <= 1e-6 relative)."""
+        paths = as_numpy(paths).astype(np.float64)
+        idces = as_numpy(idces)
+        kernel = self.embedding.kernel.astype(np.float64)
+        x_ctx = dim_bct(np.asarray(x_context, dtype=np.float64))
+        in_paths = np.asarray(self.context.select_in_context(paths))
+        e = np.einsum("bkcw,dcw->bkd", in_paths, kernel)
+        x_emb = np.einsum("bcw,dcw->bd", x_ctx, kernel)
+        d = self.distance.forward_host(x_emb[:, None, :], e)   # (B, k)
+        order = np.argsort(d, axis=-1, kind="stable")
+        d = np.take_along_axis(d, order, axis=-1)
+        paths = np.take_along_axis(paths, order[..., None, None], axis=1)
+        idces = np.take_along_axis(idces, order[..., None], axis=1)
+        return d, paths.astype(np.float32), idces
 
     def shadow_device(
         self,
@@ -692,25 +736,23 @@ class PathShadowing:
     ):
         """Shadow then price: conditional Hedged-MC smiles, one per context.
 
-        Device-resident end to end (search -> futures -> prices -> smile);
-        only the smile grids reach the host. Equivalent to the reference's
-        notebook flow (``tutorial.ipynb`` cells 12-14): ``shadow`` +
-        ``Softmax`` + ``PriceData`` + ``compute_smile``.
+        Device-resident end to end (search -> futures -> prices -> smiles);
+        ALL contexts price in one vmapped dispatch
+        (:func:`shadowing_tpu.pricing.hedged_mc.compute_smile_batch`), so a
+        B-context smile costs ~the same wall time as one. Equivalent to the
+        reference's notebook flow (``tutorial.ipynb`` cells 12-14):
+        ``shadow`` + ``Softmax`` + ``PriceData`` + ``compute_smile``.
         """
-        from shadowing_tpu.pricing.hedged_mc import compute_smile
+        from shadowing_tpu.pricing.hedged_mc import compute_smile_batch
 
         dists, paths, _ = self.shadow_device(x_context, k, n_splits, method)
-        out = self.context.select_out_context(paths)  # (B, k, C, h)
-        smiles = []
-        for b in range(out.shape[0]):
-            fut = out[b, :, 0, :]
-            lnx = jnp.concatenate(
-                [jnp.zeros((k, 1)), jnp.cumsum(fut, axis=-1)], axis=-1
-            )
-            prices = jnp.exp(lnx) * x_init
-            ave = Softmax(dists[b], eta=eta)
-            smiles.append(compute_smile(prices, Ts, Ms, r, ave))
-        return smiles
+        prices, weights = _smile_inputs(
+            dists, self.context.select_out_context(paths),
+            eta=float(eta), x_init=float(x_init),
+        )
+        # prices start exactly at x_init by construction: skip validation
+        return compute_smile_batch(prices, Ts, Ms, r, weights=weights,
+                                   validate=False)
 
     def predict(
         self,
@@ -725,18 +767,28 @@ class PathShadowing:
         cuda: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Shadow then aggregate: the full prediction pipeline
-        (reference ``path_shadowing.py:256-301``)."""
+        (reference ``path_shadowing.py:256-301``).
+
+        Contexts are padded (by repeating the last one) to a multiple of the
+        chunk size so every chunk reuses ONE compiled program — a remainder
+        chunk would otherwise trace and compile a second shape.
+        """
         del cuda
         x_context = dim_bct(np.asarray(x_context, dtype=np.float32))
         B = x_context.shape[0]
         chunk = -(-B // n_context_splits)
+        pad = (-B) % chunk
+        if pad:
+            x_context = np.concatenate(
+                [x_context, np.repeat(x_context[-1:], pad, axis=0)]
+            )
 
         preds, stds = [], []
-        for s in range(0, B, chunk):
+        for s in range(0, x_context.shape[0], chunk):
             d, p, _ = self.shadow_device(
                 x_context[s : s + chunk], k, n_dataset_splits, method
             )
             a, b = self.predict_from_paths(d, p, to_predict, proba_name, eta)
             preds.append(a)
             stds.append(b)
-        return np.concatenate(preds), np.concatenate(stds)
+        return np.concatenate(preds)[:B], np.concatenate(stds)[:B]

@@ -275,3 +275,64 @@ class TestImputationSelectionParity:
         dd, _, i_d = obj_d.shadow(x_context, k=12, method="direct")
         np.testing.assert_array_equal(i_f, i_d)
         np.testing.assert_allclose(df, dd, rtol=1e-6)
+
+
+class TestF64Rescore:
+    def test_distances_match_f64_oracle(self, small_problem):
+        """BASELINE parity row: exact_dtype='float64' winner distances match
+        the float64 brute-force oracle to <= 1e-6 relative (in fact ~1e-15:
+        the rescore performs the oracle computation on the winners)."""
+        dataset, x_context = small_problem
+        horizon = 16
+        emb = Identity(24)
+        obj = PathShadowing(emb, RelativeMSE(), dataset,
+                            PredictionContext(horizon=horizon))
+        k = 50
+        d, paths, idces = obj.shadow(x_context, k=k, exact_dtype="float64")
+        assert d.dtype == np.float64
+        assert (np.diff(d, axis=1) >= 0).all()
+
+        n_out = 256 - 24 - horizon + 1
+        ed, ei, full = oracle_search(
+            x_context, dataset, emb.kernel, n_out, k, return_full=True
+        )
+        flat = idces[..., 0].astype(np.int64) * n_out + idces[..., 1]
+        # value at every returned index == the oracle's value there, f64-exact
+        np.testing.assert_allclose(
+            np.take_along_axis(full, flat, axis=1), d, rtol=1e-12
+        )
+        # rank-for-rank parity vs the oracle at the target precision
+        np.testing.assert_allclose(d, ed, rtol=1e-6)
+        # paths must follow the f64 sort order
+        w = 24
+        for b in (0, 3):
+            r, t0 = idces[b, 0]
+            np.testing.assert_array_equal(
+                paths[b, 0], dataset[r, :, t0 : t0 + w + horizon]
+            )
+
+    def test_bad_exact_dtype(self, small_problem):
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        with pytest.raises(ValueError, match="exact_dtype"):
+            obj.shadow(x_context, k=4, exact_dtype="bf16")
+
+
+class TestPredictPadding:
+    def test_remainder_contexts_pad_and_mask(self, rng):
+        """B not divisible by the context chunk: results equal the unchunked
+        call and only ONE program shape is traced (pad-and-mask)."""
+        dataset = rng.normal(0, 0.02, size=(32, 1, 256)).astype(np.float32)
+        ctx = rng.normal(0, 0.02, size=(7, 1, 24)).astype(np.float32)
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=8))
+        to_pred = lambda x: realized_variance(x[:, :, 0, :], Ts=[2, 4],
+                                              vol=False)
+        a1, s1 = obj.predict(ctx, k=8, to_predict=to_pred, eta=0.1,
+                             n_context_splits=1)
+        a3, s3 = obj.predict(ctx, k=8, to_predict=to_pred, eta=0.1,
+                             n_context_splits=3)  # chunk=3: 3+3+pad(2)
+        assert a3.shape == (7, 2)
+        np.testing.assert_allclose(a3, a1, rtol=1e-6)
+        np.testing.assert_allclose(s3, s1, rtol=1e-5, atol=1e-8)

@@ -112,3 +112,49 @@ class TestImpliedVolEdges:
         iv = np.asarray(bs_implied_vol(prices, 100.0, 100.0, taus))
         assert iv.shape == (2, 1)
         np.testing.assert_allclose(iv, 0.2, rtol=1e-3)
+
+
+class TestBatchedSmile:
+    def test_batch_matches_per_context(self, rng):
+        """compute_smile_batch == B independent compute_smile calls."""
+        from shadowing_tpu import compute_smile_batch
+
+        B, N, T = 3, 256, 30
+        xs, ws = [], []
+        for b in range(B):
+            x = gbm_paths(rng, N, T, sigma=0.15 + 0.05 * b)
+            w = rng.uniform(0.5, 1.5, size=N)
+            xs.append(x)
+            ws.append(w)
+        Ts, Ms = [5, 20], np.linspace(-1, 1, 5)
+        batch = compute_smile_batch(
+            np.stack(xs), Ts, Ms, r=0.01, weights=np.stack(ws)
+        )
+        assert len(batch) == B
+        for b in range(B):
+            from shadowing_tpu.stats.proba import DiscreteProba
+            import jax.numpy as jnp
+
+            class _W(DiscreteProba):
+                def weights_like(self, x, axis):
+                    w = jnp.asarray(ws[b])
+                    while w.ndim < jnp.asarray(x).ndim:
+                        w = w[..., None]
+                    return w / w.sum(axis=axis, keepdims=True)
+
+            single = compute_smile(xs[b], Ts, Ms, r=0.01, ave=_W())
+            np.testing.assert_allclose(batch[b].prices, single.prices,
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(batch[b].strikes, single.strikes,
+                                       rtol=1e-5)
+
+    def test_batch_validation(self, rng):
+        from shadowing_tpu import compute_smile_batch
+
+        x = gbm_paths(rng, 16, 10, sigma=0.2)[None]
+        x2 = np.array(x)
+        x2[0, 3, 0] *= 1.5  # break the common-S0 contract in row 0
+        with pytest.raises(ValueError, match="initial price"):
+            compute_smile_batch(x2, [5], [0.0])
+        with pytest.raises(ValueError, match="weights"):
+            compute_smile_batch(x, [5], [0.0], weights=np.ones((2, 16)))
