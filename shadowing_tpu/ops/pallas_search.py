@@ -4,14 +4,22 @@ The XLA fused path materialises the segment gather and the score tensor in
 HBM (~3 full-array round trips). This kernel fuses the whole pass-1 of the
 search in VMEM: stream whole trajectory-row tiles HBM -> VMEM once, run the
 banded-Toeplitz filter matmul on the MXU for every 128-window block
-(statically unrolled), subtract from the cached window norms, and write only
-the per-block minima back to HBM — ~L times less traffic than the scores.
+(statically unrolled, accumulated over channels), subtract from the cached
+window norms, and write only the per-block minima back to HBM — ~L times
+less traffic than the scores.
 
 Pass 2 (XLA, tiny) selects the ``cap`` best blocks globally, *recomputes*
 their scores from the raw data at full precision, runs an exact top-k over
 the ``cap * L`` candidates and certifies the result with the tournament
 bound (see :mod:`shadowing_tpu.ops.topk`) including a guard band for the
 pass-1/pass-2 rounding skew.
+
+Generality (round 2): any channel count (the cross term accumulates one
+Toeplitz matmul per channel), any filter width up to ``MAX_WIDTH`` (a filter
+spanning ``m`` L-blocks consumes ``m + 1`` blocks per segment — multi-block
+Toeplitz accumulation in one ``dot``), and any ``k`` (selection sizes are
+plain tournament parameters; the reference's Foveal-126 / horizon-252 /
+k=10000 config runs here).
 
 VMEM budget: a grid step holds a trajectory-row tile plus a same-size norms
 tile, each double-buffered by the pipeline; the row count is sized to keep
@@ -28,13 +36,21 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from shadowing_tpu.ops import topk as topk_ops
 from shadowing_tpu.ops.sliding import _toeplitz as _toeplitz_generic
 
 L = 128               # window starts per block (= the tournament block size)
+_MAX_SEG_BLOCKS = 4   # filter may span up to this many L-blocks
+MAX_WIDTH = (_MAX_SEG_BLOCKS - 1) * L + 1   # widest supported filter (385)
 #: target bytes for the trajectory tile per grid step; the pipeline holds
 #: two double-buffered input tiles of roughly this size, so keep the total
 #: well under the 16 MB VMEM
 _VMEM_TILE = 3 << 19
+
+
+def _seg_blocks(w: int) -> int:
+    """L-blocks a segment spans: ``L`` outputs need ``L + w - 1`` samples."""
+    return -(-(L + w - 1) // L)
 
 
 def _rows_per_tile(t_cols: int) -> int:
@@ -42,27 +58,34 @@ def _rows_per_tile(t_cols: int) -> int:
     return max(8, min(256, (tr // 8) * 8))
 
 
-def _toeplitz_2l(g: jax.Array) -> jax.Array:
-    """Banded Toeplitz ``(2L, L)`` operator of a filter ``g`` (w <= L + 1):
-    ``G[s, l] = g[s - l]`` for ``0 <= s - l < w`` — the generic builder from
-    :mod:`shadowing_tpu.ops.sliding`, zero-padded from ``L + w - 1`` to
-    ``2L`` rows (the kernel always consumes two L-blocks per segment)."""
-    G = _toeplitz_generic(g[None, None, :], L)[0, :, :, 0]   # (L + w - 1, L)
-    return jnp.pad(G, ((0, 2 * L - G.shape[0]), (0, 0)))
+def _toeplitz_ml(g: jax.Array, m: int) -> jax.Array:
+    """Banded Toeplitz ``(C, m*L, L)`` operator of a filter ``(C, w)`` with
+    ``w <= (m-1)*L + 1``: ``G[c, s, l] = g[c, s - l]`` for ``0 <= s - l < w``
+    — the generic builder from :mod:`shadowing_tpu.ops.sliding`, zero-padded
+    to ``m`` full L-blocks of rows (the kernel consumes whole blocks)."""
+    C = g.shape[0]
+    G = _toeplitz_generic(g[None], L)[:, :, :, 0]            # (C, L+w-1, L)
+    return jnp.pad(G, ((0, 0), (0, m * L - G.shape[1]), (0, 0)))
 
 
-def _make_kernel(nblk: int):
+def _make_kernel(nblk: int, C: int, m: int, cols: int):
+    """Pass-1 kernel: per 128-start block, cross = sum_c seg_c @ G_c on the
+    MXU; score = norms - 2*cross; write only each block's minimum."""
+
     def kernel(y_ref, nrm_ref, g_ref, out_ref):
-        g = g_ref[0]                                     # (2L, L)
         mins = []
         for j in range(nblk):                            # static unroll
-            seg = y_ref[0, :, j * L : (j + 2) * L]       # (TR, 2L)
-            cross = jax.lax.dot_general(
-                seg, g,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                            # (TR, L)
+            cross = None
+            for c in range(C):                           # channel accumulate
+                seg = y_ref[0, :, c * cols + j * L : c * cols + (j + m) * L]
+                g = g_ref[0, c * m * L : (c + 1) * m * L, :]    # (mL, L)
+                part = jax.lax.dot_general(
+                    seg, g,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                        # (TR, L)
+                cross = part if cross is None else cross + part
             s = nrm_ref[0, :, j * L : (j + 1) * L] - 2.0 * cross
             mins.append(s.min(axis=1))
         out_ref[0] = jnp.stack(mins, axis=1)             # (TR, nblk)
@@ -72,25 +95,28 @@ def _make_kernel(nblk: int):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def score_blockmin(
-    y2: jax.Array,       # (R, (nblk + 1) * L) padded trajectories
+    y2: jax.Array,       # (R, C * cols) padded trajectories, chan-major
     norms2: jax.Array,   # (R, nblk * L) window norms, +inf outside n_out
-    g: jax.Array,        # (B, w) combined context filters (w <= L + 1)
+    g: jax.Array,        # (B, C, w) combined context filters, w <= MAX_WIDTH
     interpret: bool = False,
 ) -> jax.Array:          # (B, R, nblk) block minima of the scores
-    R, t_cols = y2.shape
+    R = y2.shape[0]
+    B, C, w = g.shape
+    cols = y2.shape[1] // C
     nblk = norms2.shape[1] // L
-    B = g.shape[0]
-    G = jax.vmap(_toeplitz_2l)(g)                        # (B, 2L, L)
-    tr = _rows_per_tile(t_cols)
+    m = _seg_blocks(w)
+    G = jax.vmap(lambda gb: _toeplitz_ml(gb, m))(g)      # (B, C, mL, L)
+    G = G.reshape(B, C * m * L, L)
+    tr = _rows_per_tile(C * cols)
 
     grid = (B, R // tr)
     return pl.pallas_call(
-        _make_kernel(nblk),
+        _make_kernel(nblk, C, m, cols),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tr, t_cols), lambda b, i: (0, i, 0)),
+            pl.BlockSpec((1, tr, C * cols), lambda b, i: (0, i, 0)),
             pl.BlockSpec((1, tr, nblk * L), lambda b, i: (0, i, 0)),
-            pl.BlockSpec((1, 2 * L, L), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, C * m * L, L), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tr, nblk), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, R, nblk), jnp.float32),
@@ -98,36 +124,36 @@ def score_blockmin(
     )(y2[None], norms2[None], G)
 
 
-@partial(jax.jit, static_argnames=("n_out",))
+@partial(jax.jit, static_argnames=("n_out", "w"))
 def _pad_views(
-    y: jax.Array,        # (R, 1, T) single-channel trajectories
+    y: jax.Array,        # (R, C, T) trajectories
     norms: jax.Array,    # (R, n_out)
     n_out: int,
+    w: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(R', (nblk + 1) * L) trajectory matrix and +inf-padded norms, row
-    count padded to the grid tile."""
+    """(R', C, (nblk + m - 1) * L) trajectory tensor and +inf-padded norms,
+    row count padded to the grid tile."""
     R, C, T = y.shape
-    if C != 1:
-        raise ValueError("pallas search supports single-channel datasets")
     nblk = -(-n_out // L)
-    t_need = (nblk + 1) * L
-    tr = _rows_per_tile(t_need)
+    m = _seg_blocks(w)
+    t_need = (nblk + m - 1) * L
+    tr = _rows_per_tile(C * t_need)
     r_pad = (-R) % tr
-    y2 = jnp.pad(y[:, 0, :], ((0, r_pad), (0, max(0, t_need - T))))
-    y2 = y2[:, :t_need]
+    y3 = jnp.pad(y, ((0, r_pad), (0, 0), (0, max(0, t_need - T))))
+    y3 = y3[:, :, :t_need]
     n2 = jnp.pad(
         norms,
         ((0, r_pad), (0, nblk * L - n_out)),
         constant_values=jnp.inf,
     )
-    return y2, n2
+    return y3, n2
 
 
 @partial(jax.jit, static_argnames=("k", "n_out", "cap", "interpret"))
 def two_pass_search(
-    y: jax.Array,        # (R, 1, T)
+    y: jax.Array,        # (R, C, T)
     norms: jax.Array,    # (R, n_out)
-    g: jax.Array,        # (B, 1, w) combined filters, w <= L + 1
+    g: jax.Array,        # (B, C, w) combined filters, w <= MAX_WIDTH
     k: int,
     n_out: int,
     cap: Optional[int] = None,
@@ -139,46 +165,58 @@ def two_pass_search(
     ok (B,) certification flags).
     """
     B, _, w = g.shape
-    if w > L + 1:
-        raise ValueError(f"filter width {w} > {L + 1} unsupported by the "
+    if w > MAX_WIDTH:
+        raise ValueError(f"filter width {w} > {MAX_WIDTH} unsupported by the "
                          "pallas search; use the scan path")
-    y2, n2 = _pad_views(y, norms, n_out)
-    Rp = y2.shape[0]
+    m = _seg_blocks(w)
+    y3, n2 = _pad_views(y, norms, n_out, w)
+    Rp, C, cols = y3.shape
     nblk = n2.shape[1] // L
 
     # ---- pass 1: fused score + block minima (Pallas) -------------------
-    bmin = score_blockmin(y2, n2, g[:, 0, :], interpret=interpret)
+    bmin = score_blockmin(y3.reshape(Rp, C * cols), n2, g,
+                          interpret=interpret)
     bmin_flat = bmin.reshape(B, Rp * nblk)   # flat block id = r * nblk + j
 
     if cap is None:
-        # worst case every winner sits in its own block: cap must exceed k
-        # blocks or the certification fails on spread-out score fields
-        cap = min(max(k + k // 4 + 256, 512), Rp * nblk)
+        # at most k - 1 blocks can hold a value strictly below the k-th
+        # winner, so cap = k + slack selects every block that could matter;
+        # a failed certification still falls back exactly (engine redo)
+        cap = min(max(k + 384, 512), Rp * nblk)
     cap = min(max(cap, -(-k // L)), Rp * nblk)
 
     # ---- pass 2: global block selection + exact rescore (XLA) ----------
-    G = jax.vmap(_toeplitz_2l)(g[:, 0, :])               # (B, 2L, L)
+    G = jax.vmap(lambda gb: _toeplitz_ml(gb, m))(g)      # (B, C, mL, L)
 
     def per_context(bmin_b, G_b):
-        neg_mu, bidx = jax.lax.top_k(-bmin_b, cap)       # cap best blocks
-        mu_cap = jnp.where(cap < Rp * nblk, -neg_mu[-1], jnp.inf)
+        # cap best blocks — hierarchical tournament instead of a flat
+        # top_k/sort over millions of block minima (the cap smallest minima
+        # occupy at most cap of the inner 128-blocks, so cap + slack inner
+        # blocks certify; a ~2x smaller array reaches the real sort)
+        mu_sel, bidx, sel_ok = topk_ops.topk_min(
+            bmin_b, cap, block=L, cap=cap + 128
+        )
+        mu_cap = jnp.where(cap < Rp * nblk, mu_sel[-1], jnp.inf)
         bidx = jnp.sort(bidx)  # flat order: exact ties match the sort oracle
         r = bidx // nblk
         j = bidx % nblk
-        col = j[:, None] * L + jnp.arange(2 * L)[None, :]
-        seg = y2[r[:, None], col]                        # (cap, 2L)
-        cross = jnp.einsum("cs,sl->cl", seg, G_b,
+        col = j[:, None] * L + jnp.arange(m * L)[None, :]
+        seg = y3[r[:, None], :, col]                     # (cap, mL, C)
+        cross = jnp.einsum("ksc,csl->kl", seg, G_b,
                            precision=jax.lax.Precision.HIGHEST)
         ncol = j[:, None] * L + jnp.arange(L)[None, :]
         s = n2[r[:, None], ncol] - 2.0 * cross           # (cap, L)
         flat_idx = (r * nblk + j)[:, None] * L + jnp.arange(L)[None, :]
-        neg_v, loc = jax.lax.top_k(-s.reshape(-1), k)
-        vals = -neg_v
+        # final exact selection — tournament again; the k winners occupy at
+        # most k of the cap candidate rows, so a tight cap is certified-safe
+        vals, loc, fin_ok = topk_ops.topk_min(
+            s.reshape(-1), k, block=L, cap=k + 128
+        )
         idx = flat_idx.reshape(-1)[loc]
         # certification with a guard band for pass-1/pass-2 rounding skew
         guard = 1e-5 * jnp.abs(mu_cap) + 1e-12
         ok = jnp.where(jnp.isinf(mu_cap), True, vals[-1] + guard < mu_cap)
-        return vals, idx, ok
+        return vals, idx, ok & sel_ok & fin_ok
 
     vals, idx, ok = jax.vmap(per_context)(bmin_flat, G)
     # padded-block flat ids -> true (traj * n_out + t) ids

@@ -416,14 +416,14 @@ class PathShadowing:
         return max(1, -(-total // _memory_budget()))
 
     def _pallas_ok(self, kernel: np.ndarray) -> bool:
-        """Whether the fused Pallas two-pass search applies: TPU backend,
-        single-channel data, a narrow-enough filter, and a distance whose
-        selection score has the kernel's ``norm2 - 2 cross`` form."""
+        """Whether the fused Pallas two-pass search applies: TPU backend, a
+        filter no wider than the kernel's multi-block Toeplitz limit, and a
+        distance whose selection score has the ``norm2 - 2 cross`` form
+        hard-wired into the kernel (any channel count, any k)."""
         return (
             jax.default_backend() == "tpu"
-            and self.y.shape[1] == 1
             and self.distance.supports_expansion
-            and kernel.shape[-1] <= pallas_search.L + 1
+            and kernel.shape[-1] <= pallas_search.MAX_WIDTH
             and self.distance.pallas_score_form
         )
 
@@ -541,19 +541,14 @@ class PathShadowing:
             )
         if method == "auto":
             if self.distance.supports_expansion:
-                # the pallas two-pass wins while selection is cheap (small
-                # k); at k >~ 4096 both paths are dominated by XLA's top_k
-                method = (
-                    "pallas" if self._pallas_ok(kernel) and k <= 4096
-                    else "fused"
-                )
+                method = "pallas" if self._pallas_ok(kernel) else "fused"
             else:
                 method = "direct"
         if method == "pallas" and not self._pallas_ok(kernel):
             raise ValueError(
-                "pallas search requires a TPU backend, a single-channel "
-                f"dataset, an expansion distance and filter width <= "
-                f"{pallas_search.L + 1}"
+                "pallas search requires a TPU backend, an expansion "
+                f"distance with the norm2-2*cross score form, and filter "
+                f"width <= {pallas_search.MAX_WIDTH}"
             )
         if n_splits is None:
             n_splits = self._auto_splits(B, n_out, d, method)
