@@ -10,8 +10,14 @@ TPU design: every seed is an independent optimisation of a length-T vector;
 seeds are vmapped into batches and stepped together under one jitted
 ``lax.scan`` (Adam in normalised coordinates). The loss is the mean squared
 mismatch of the ~2+2J+J(J-1)+2|triples| statistics; a seed "converges" when
-its RMS mismatch falls below ``tol``. Early stopping is checked between
-scan segments on the host (all-converged batches stop spending steps).
+its RMS mismatch falls below ``tol``.
+
+Converged seeds stop costing FLOPs: between scan segments the host retires
+seeds whose RMS fell below ``tol`` and repacks the survivors into the
+smallest of at most four bucketed batch shapes (batch, ~b/2, ~b/4, ~b/8), so
+straggler-bound batches pay gradients only for the stragglers. The
+gather -> Adam-scan -> scatter round trip is one jitted dispatch per segment
+(state stays on device; only the per-seed losses reach the host).
 """
 from __future__ import annotations
 
@@ -26,19 +32,8 @@ from shadowing_tpu.models.scattering.moments import _scattering_stats_flat
 from shadowing_tpu.models.scattering.wavelets import FilterBank
 
 
-@partial(jax.jit, static_argnames=("J", "n_steps", "lr"))
-def _optimize_segment(
-    z: jax.Array,          # (B, T) normalised series being optimised
-    m: jax.Array,          # Adam state
-    v: jax.Array,
-    i0: jax.Array,         # () step offset
-    target: jax.Array,     # (n_stats,)
-    psi_hat: jax.Array,    # (J, T)
-    J: int,
-    n_steps: int,
-    lr: float = 0.03,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Run ``n_steps`` Adam steps; returns (z, m, v, per-seed loss)."""
+def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr):
+    """``n_steps`` Adam steps on a (B, T) seed batch (trace-time body)."""
     b1, b2, eps = 0.9, 0.999, 1e-8
 
     def loss_fn(z):
@@ -63,6 +58,71 @@ def _optimize_segment(
     (z, m, v), _ = jax.lax.scan(step, (z, m, v), jnp.arange(n_steps))
     _, stats = loss_fn(z)
     return z, m, v, per_seed_loss(stats)
+
+
+@partial(jax.jit, static_argnames=("J", "n_steps", "lr"))
+def _optimize_segment(
+    z: jax.Array,          # (B, T) normalised series being optimised
+    m: jax.Array,          # Adam state
+    v: jax.Array,
+    i0: jax.Array,         # () step offset
+    target: jax.Array,     # (n_stats,)
+    psi_hat: jax.Array,    # (J, T)
+    J: int,
+    n_steps: int,
+    lr: float = 0.03,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run ``n_steps`` Adam steps on the full batch; returns (z, m, v, loss)."""
+    return _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr)
+
+
+@partial(jax.jit, static_argnames=("J", "n_steps", "lr"))
+def _optimize_segment_compact(
+    z_full: jax.Array,     # (batch, T) all seeds (converged ones frozen)
+    m_full: jax.Array,
+    v_full: jax.Array,
+    idx: jax.Array,        # (nb,) int32 rows to step; padded by cycling the
+    #                        active rows, so duplicate indices carry
+    #                        *identical* values and the scatter is exact
+    i0: jax.Array,
+    target: jax.Array,
+    psi_hat: jax.Array,
+    J: int,
+    n_steps: int,
+    lr: float = 0.03,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Gather the active seeds, Adam-step them, scatter back — one dispatch.
+
+    Compile cost is keyed by ``(nb, n_steps)``; the caller quantises ``nb``
+    to at most four bucket sizes so retirement never causes a recompile
+    cascade.
+    """
+    z, m, v, losses = _adam_scan(
+        z_full[idx], m_full[idx], v_full[idx], i0, target, psi_hat,
+        J, n_steps, lr,
+    )
+    return (
+        z_full.at[idx].set(z),
+        m_full.at[idx].set(m),
+        v_full.at[idx].set(v),
+        losses,
+    )
+
+
+def _bucket_sizes(batch: int) -> list:
+    """Descending batch buckets: [batch, ~b/2, ~b/4, ~b/8] (<= 4 shapes)."""
+    sizes = [batch]
+    while sizes[-1] > 1 and len(sizes) < 4:
+        sizes.append(-(-sizes[-1] // 2))
+    return sizes
+
+
+def _bucket(n: int, sizes: list) -> int:
+    """Smallest listed bucket >= n."""
+    for s in reversed(sizes):
+        if s >= n:
+            return s
+    return sizes[0]
 
 
 def synthesize_batch(
@@ -103,33 +163,54 @@ def synthesize_batch(
             if verbose:
                 print(f"  resumed synthesis from step {done}", flush=True)
 
-    losses = None
-    while done < max_iterations:
+    # Active-set compaction: converged seeds retire and stop costing
+    # gradients; survivors are repacked into <= 4 bucketed shapes (bounded
+    # recompiles). ``rms_full`` records each seed's RMS at retirement (or at
+    # budget exhaustion). A resumed run starts with everyone active — the
+    # first segment re-derives the active set.
+    sizes = _bucket_sizes(batch)
+    active = np.arange(batch)
+    rms_full = np.full(batch, np.inf, np.float32)
+    while done < max_iterations and active.size:
         n = min(segment, max_iterations - done)
-        z, m, v, losses = _optimize_segment(
-            z, m, v, jnp.asarray(done, jnp.float32), target, psi,
-            J=bank.J, n_steps=n, lr=lr,
-        )
+        if active.size == batch:
+            z, m, v, losses = _optimize_segment(
+                z, m, v, jnp.asarray(done, jnp.float32), target, psi,
+                J=bank.J, n_steps=n, lr=lr,
+            )
+            rms_seg = np.sqrt(np.asarray(losses))
+            rms_full[:] = rms_seg
+        else:
+            nb = _bucket(active.size, sizes)
+            idx = np.resize(active, nb)  # pad by cycling the active rows
+            z, m, v, losses = _optimize_segment_compact(
+                z, m, v, jnp.asarray(idx, jnp.int32),
+                jnp.asarray(done, jnp.float32), target, psi,
+                J=bank.J, n_steps=n, lr=lr,
+            )
+            rms_seg = np.sqrt(np.asarray(losses))[: active.size]
+            rms_full[active] = rms_seg
         done += n
-        rms = np.sqrt(np.asarray(losses))
         if checkpoint_path is not None:
             tmp = checkpoint_path.with_suffix(".tmp.npz")
             np.savez(tmp, z=np.asarray(z), m=np.asarray(m), v=np.asarray(v),
                      done=done)
             tmp.replace(checkpoint_path)
+        active = active[rms_full[active] >= tol]
         if verbose:
             print(
                 f"  synthesis step {done:5d}: rms mismatch "
-                f"median={np.median(rms):.4f} max={rms.max():.4f}",
+                f"median={np.median(rms_full):.4f} max={rms_full.max():.4f} "
+                f"| {batch - active.size}/{batch} converged",
                 flush=True,
             )
-        if (rms < tol).all():
-            break
-    if losses is None:  # resumed exactly at the step budget: evaluate only
-        z, m, v, losses = _optimize_segment(
+    if not np.isfinite(rms_full).all():
+        # resumed exactly at the step budget: evaluate losses only
+        _, _, _, losses = _optimize_segment(
             z, m, v, jnp.asarray(done, jnp.float32), target, psi,
             J=bank.J, n_steps=0, lr=lr,
         )
+        rms_full = np.sqrt(np.asarray(losses))
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()  # shard finished: drop the mid-shard state
-    return np.asarray(z), np.sqrt(np.asarray(losses))
+    return np.asarray(z), rms_full

@@ -121,6 +121,60 @@ class TestSynthesis:
         assert z.shape == (8, T)
         assert np.median(rms) < 0.05
 
+    def test_compact_segment_matches_full(self, rng):
+        """Gather->step->scatter on an active subset must equal stepping the
+        subset directly, and leave retired rows untouched bit-for-bit —
+        duplicate (cycled) pad indices included."""
+        from shadowing_tpu.models.scattering.synthesis import (
+            _optimize_segment,
+            _optimize_segment_compact,
+        )
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(16, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+        psi = jnp.asarray(bank.psi_hat)
+        z0 = jnp.asarray(rng.normal(size=(8, T)), jnp.float32)
+        m0 = jnp.zeros_like(z0)
+        v0 = jnp.zeros_like(z0)
+        active = np.array([1, 4, 6])
+        idx = np.resize(active, 4)  # pad by cycling: [1, 4, 6, 1]
+        i0 = jnp.asarray(10.0)
+
+        zc, mc, vc, lc = _optimize_segment_compact(
+            z0, m0, v0, jnp.asarray(idx, jnp.int32), i0, target, psi,
+            J=J, n_steps=5,
+        )
+        zf, mf, vf, lf = _optimize_segment(
+            z0[jnp.asarray(active)], m0[: 3], v0[: 3], i0, target, psi,
+            J=J, n_steps=5,
+        )
+        np.testing.assert_array_equal(np.asarray(zc)[active], np.asarray(zf))
+        np.testing.assert_array_equal(np.asarray(lc)[:3], np.asarray(lf))
+        frozen = np.setdiff1d(np.arange(8), active)
+        np.testing.assert_array_equal(
+            np.asarray(zc)[frozen], np.asarray(z0)[frozen]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mc)[frozen], np.asarray(m0)[frozen]
+        )
+
+    def test_bucket_sizes(self):
+        from shadowing_tpu.models.scattering.synthesis import (
+            _bucket,
+            _bucket_sizes,
+        )
+
+        sizes = _bucket_sizes(256)
+        assert sizes == [256, 128, 64, 32]
+        assert _bucket(256, sizes) == 256
+        assert _bucket(129, sizes) == 256
+        assert _bucket(33, sizes) == 64
+        assert _bucket(1, sizes) == 32
+        assert _bucket_sizes(1) == [1]
+
     def test_generate_end_to_end_heavy_tail(self, rng):
         """Full generate() on a heavy-tailed, vol-clustered input: outputs
         must inherit scale, fat tails and clustering direction."""
