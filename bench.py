@@ -123,17 +123,103 @@ def bench_reference_config():
 
 
 def bench_generation():
-    """Scattering-synthesis throughput (paths/s) on the bundled series."""
-    from shadowing_tpu import SPDaily, generate
+    """Scattering-synthesis throughput on the reference's own generation
+    config (snp_generation.py defaults: J=9, tol 1e-2, <=1000 iterations).
+
+    Measures: cold + warm-median TPU paths/s, the gain from retiring
+    converged seeds (vs the full-batch-until-all-converged schedule), the
+    achieved rms-vs-tol of the produced batch, and a *measured* host-CPU
+    baseline (per-seed-step cost at small batch, scaled to the identical
+    seed-step workload the TPU run actually paid).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from shadowing_tpu import SPDaily
+    from shadowing_tpu.models.scattering.moments import scattering_stats
+    from shadowing_tpu.models.scattering.synthesis import (
+        _optimize_segment,
+        synthesize_batch,
+    )
+    from shadowing_tpu.models.scattering.wavelets import build_filter_bank
+
+    batch, J, T, tol, max_iter = 256, 9, 4096, 1e-2, 1000
 
     snp = SPDaily(start="03-01-2000", end="31-12-2014")
-    t0 = time.perf_counter()
-    generate(x=snp, R=256, J=9, tol_optim=1e-2, max_iterations=300,
-             seed=0, batch=256)
-    dt = time.perf_counter() - t0
-    log(f"[gen] 256 paths (J=9, T=4096, 300 iters): {dt:.1f}s "
-        f"-> {256/dt:.1f} paths/s")
-    return 256 / dt
+    dlnx = np.ravel(snp.dlnx).astype(np.float64)
+    z_obs = (dlnx - dlnx.mean()) / dlnx.std()
+    bank_obs = build_filter_bank(len(z_obs), J)
+    target = scattering_stats(jnp.asarray(z_obs, jnp.float32), bank_obs)
+    bank = build_filter_bank(T, J)
+
+    def run(seed, compact=True):
+        wl = {}
+        t0 = time.perf_counter()
+        _, rms = synthesize_batch(
+            jax.random.PRNGKey(seed), target, bank, batch=batch,
+            max_iterations=max_iter, tol=tol, compact=compact, work_log=wl,
+        )
+        return time.perf_counter() - t0, rms, wl
+
+    dt_cold, _, _ = run(0)
+    log(f"[gen] cold (compiles): {dt_cold:.1f}s")
+    times, rms, wl = [], None, None
+    for seed in (1, 2):
+        dt, rms, wl = run(seed)
+        times.append(dt)
+    t_warm = float(np.median(times))
+    pps = batch / t_warm
+    conv = float((rms < tol).mean())
+    log(f"[gen] warm {batch} paths (J={J}, T={T}, tol={tol:g}, "
+        f"<= {max_iter} iters): {t_warm:.1f}s -> {pps:.1f} paths/s | "
+        f"rms median={np.median(rms):.4f} converged={100*conv:.0f}% | "
+        f"seed-steps paid={wl['seed_steps']}")
+
+    dt_nc, _, wl_nc = run(2, compact=False)
+    log(f"[gen] no-compaction (round-1 schedule, same seed): {dt_nc:.1f}s "
+        f"({wl_nc['seed_steps']} seed-steps) -> compaction speedup "
+        f"{dt_nc / t_warm:.2f}x")
+
+    # host-CPU baseline: measured per-seed-step cost, scaled to the same
+    # seed-step workload the TPU run paid (CPU FFT cost is batch-linear;
+    # small-batch measurement slightly favours the CPU).
+    gen_vs_cpu = None
+    try:
+        jax.config.update("jax_platforms", f"{jax.default_backend()},cpu")
+        cpu = jax.devices("cpu")[0]
+    except Exception as e:  # CPU backend unavailable: report TPU-only
+        log(f"[gen] no host CPU backend ({e}); skipping CPU baseline")
+        cpu = None
+    if cpu is not None:
+        b_cpu, steps_cpu = 16, 10
+        with jax.default_device(cpu):
+            tgt_c = jax.device_put(target, cpu)
+            psi_c = jax.device_put(jnp.asarray(bank.psi_hat), cpu)
+            z0 = jax.random.normal(jax.random.PRNGKey(0), (b_cpu, T),
+                                   jnp.float32)
+            zeros = jnp.zeros_like(z0)
+            i0 = jnp.asarray(0.0)
+            # warm the CPU jit (2 steps), then measure
+            np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c, psi_c,
+                                         J=J, n_steps=2)[0])
+            t0 = time.perf_counter()
+            np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c, psi_c,
+                                         J=J, n_steps=steps_cpu)[0])
+            dt_cpu = time.perf_counter() - t0
+        per_seed_step_cpu = dt_cpu / (steps_cpu * b_cpu)
+        cpu_pps = batch / (per_seed_step_cpu * wl["seed_steps"])
+        gen_vs_cpu = pps / cpu_pps
+        log(f"[gen] CPU: {per_seed_step_cpu*1e3:.2f} ms/seed-step "
+            f"(measured, batch {b_cpu} x {steps_cpu} steps) -> "
+            f"{cpu_pps:.3f} paths/s on this workload -> TPU is "
+            f"{gen_vs_cpu:.0f}x CPU")
+    return {
+        "gen_paths_per_s": round(pps, 2),
+        "gen_vs_cpu": round(gen_vs_cpu, 1) if gen_vs_cpu else None,
+        "gen_rms_median": round(float(np.median(rms)), 4),
+        "gen_converged_frac": round(conv, 3),
+        "gen_compaction_speedup": round(dt_nc / t_warm, 2),
+    }
 
 
 def main():
@@ -142,8 +228,9 @@ def main():
     if os.environ.get("BENCH_SKIP_REF") != "1":
         t_ref = bench_reference_config()
         vs = REF_BASELINE_S / t_ref
+    gen = {}
     if os.environ.get("BENCH_SKIP_GEN") != "1":
-        bench_generation()
+        gen = bench_generation()
     print(json.dumps({
         "metric": "e2e shadow+vol-predict+smile, R=32768x4096 w=20 k=1024 "
                   "(vs_baseline: speedup on reference testing.ipynb cell-3 "
@@ -151,6 +238,7 @@ def main():
         "value": round(t_target, 4),
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        **gen,
     }))
 
 

@@ -22,9 +22,12 @@ import numpy as np
 
 def get_args():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("-ntot", type=int, default=1,
-                        help="total number of job-array tasks")
-    parser.add_argument("-tid", type=int, default=0, help="this task's id")
+    parser.add_argument("-ntot", type=int, default=None,
+                        help="total number of job-array tasks (default: the "
+                        "JAX process count — on a multi-host pod slice the "
+                        "same invocation on every host partitions the work)")
+    parser.add_argument("-tid", type=int, default=None,
+                        help="this task's id (default: jax.process_index())")
     parser.add_argument("-J", type=int, default=9, help="number of scales")
     parser.add_argument("-R", type=int, default=32768,
                         help="total number of realizations (over all tasks)")
@@ -48,10 +51,13 @@ def get_args():
 def main():
     args = get_args()
     from shadowing_tpu import SPDaily, generate
+    from shadowing_tpu.parallel.multihost import initialize, task_split
 
+    initialize()  # no-op single-host; joins the pod slice otherwise
+    ntot, tid = task_split(args.ntot, args.tid)
     snp = SPDaily(start=args.start, end=args.end)
-    r_task = args.R // args.ntot
-    out_file = Path(args.cache) / f"task{args.tid:05d}_R{r_task}.npy"
+    r_task = args.R // ntot
+    out_file = Path(args.cache) / f"task{tid:05d}_R{r_task}.npy"
     out_file.parent.mkdir(parents=True, exist_ok=True)
     if out_file.exists():
         print(f"{out_file} already exists — skipping (restart semantics)")
@@ -69,7 +75,7 @@ def main():
         cache_path=Path(args.cache) / "_shards",
         verbose=not args.quiet,
         # disjoint reproducible stream per task (reference ntot/tid pattern)
-        seed=args.seed * args.ntot + args.tid,
+        seed=args.seed * ntot + tid,
         batch=args.batch,
     )
     np.save(out_file, x_gen.astype(np.float32))

@@ -136,6 +136,8 @@ def synthesize_batch(
     lr: float = 0.03,
     verbose: bool = False,
     checkpoint_path=None,
+    compact: bool = True,
+    work_log: dict = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesise ``batch`` series matching ``target`` statistics.
 
@@ -145,6 +147,11 @@ def synthesize_batch(
     :param checkpoint_path: optional ``.npz`` file; the optimiser state
         (series, Adam moments, step count) is saved there after every
         segment, so an interrupted long generation resumes mid-shard.
+    :param compact: retire converged seeds between segments (default).
+        ``False`` reproduces the full-batch-until-all-converged schedule
+        (kept for benchmarking the compaction gain).
+    :param work_log: optional dict; filled with ``seed_steps`` (total
+        per-seed Adam steps actually paid) and ``steps`` (wall steps).
     """
     T = bank.T
     psi = jnp.asarray(bank.psi_hat)
@@ -171,16 +178,10 @@ def synthesize_batch(
     sizes = _bucket_sizes(batch)
     active = np.arange(batch)
     rms_full = np.full(batch, np.inf, np.float32)
+    seed_steps = 0
     while done < max_iterations and active.size:
         n = min(segment, max_iterations - done)
-        if active.size == batch:
-            z, m, v, losses = _optimize_segment(
-                z, m, v, jnp.asarray(done, jnp.float32), target, psi,
-                J=bank.J, n_steps=n, lr=lr,
-            )
-            rms_seg = np.sqrt(np.asarray(losses))
-            rms_full[:] = rms_seg
-        else:
+        if compact and active.size < batch:
             nb = _bucket(active.size, sizes)
             idx = np.resize(active, nb)  # pad by cycling the active rows
             z, m, v, losses = _optimize_segment_compact(
@@ -190,13 +191,24 @@ def synthesize_batch(
             )
             rms_seg = np.sqrt(np.asarray(losses))[: active.size]
             rms_full[active] = rms_seg
+            seed_steps += nb * n
+        else:
+            z, m, v, losses = _optimize_segment(
+                z, m, v, jnp.asarray(done, jnp.float32), target, psi,
+                J=bank.J, n_steps=n, lr=lr,
+            )
+            rms_full[:] = np.sqrt(np.asarray(losses))
+            seed_steps += batch * n
         done += n
         if checkpoint_path is not None:
             tmp = checkpoint_path.with_suffix(".tmp.npz")
             np.savez(tmp, z=np.asarray(z), m=np.asarray(m), v=np.asarray(v),
                      done=done)
             tmp.replace(checkpoint_path)
-        active = active[rms_full[active] >= tol]
+        if compact:
+            active = active[rms_full[active] >= tol]
+        else:
+            active = np.flatnonzero(rms_full >= tol)
         if verbose:
             print(
                 f"  synthesis step {done:5d}: rms mismatch "
@@ -211,6 +223,9 @@ def synthesize_batch(
             J=bank.J, n_steps=0, lr=lr,
         )
         rms_full = np.sqrt(np.asarray(losses))
+    if work_log is not None:
+        work_log["seed_steps"] = seed_steps
+        work_log["steps"] = done
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()  # shard finished: drop the mid-shard state
     return np.asarray(z), rms_full

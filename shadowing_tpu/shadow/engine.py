@@ -347,6 +347,12 @@ class PathShadowing:
         mesh size, padded rows neutralised by ``+inf`` norms); search,
         extraction and rescore run per-device with one ICI ``all_gather`` /
         ``psum`` each; results are array-identical to ``mesh=None``.
+    :param n_trajectories: true trajectory count when ``dataset`` is a
+        pre-assembled *global* sharded array whose R axis was already
+        zero-padded to the mesh (the multi-host path:
+        :func:`shadowing_tpu.parallel.multihost.shard_dataset_from_local`).
+        Rows at index >= ``n_trajectories`` are treated as padding and can
+        never win a search. Default: every row is data.
     """
 
     def __init__(
@@ -356,6 +362,7 @@ class PathShadowing:
         dataset: Union[Array, Path, str, TimeSeriesDataset],
         context: Optional[ContextManager] = None,
         mesh=None,
+        n_trajectories: Optional[int] = None,
     ):
         if isinstance(dataset, (str, Path)):
             dataset = TimeSeriesDataset(dpath=dataset, R=None)
@@ -373,19 +380,38 @@ class PathShadowing:
 
         self._y: Optional[jax.Array] = None       # device dataset (R', C, T)
         self._norms: Optional[jax.Array] = None   # cached window norms
-        self._R: Optional[int] = None             # true trajectory count
+        self._R: Optional[int] = n_trajectories   # true trajectory count
 
     # -- device state ----------------------------------------------------
     @property
     def y(self) -> jax.Array:
         """Device dataset — R zero-padded to the mesh size in mesh mode."""
         if self._y is None:
-            y = as_jax_f32(dim_bct(jnp.asarray(self.dataset)))
-            self._R = y.shape[0]
-            if self.mesh is not None:
-                from shadowing_tpu.parallel.sharding import shard_dataset
+            if (
+                self.mesh is not None
+                and isinstance(self.dataset, jax.Array)
+                and not self.dataset.is_fully_addressable
+            ):
+                # multi-host global array (shard_dataset_from_local): rows
+                # were already padded + placed; only validate the contract
+                y = self.dataset
+                if y.ndim != 3 or y.shape[0] % self.mesh.shape["data"]:
+                    raise ValueError(
+                        "pre-sharded dataset must be (R_pad, C, T) with "
+                        "R_pad a multiple of the mesh — assemble it with "
+                        "shadowing_tpu.parallel.multihost."
+                        "shard_dataset_from_local"
+                    )
+                if self._R is None:
+                    self._R = y.shape[0]
+            else:
+                y = as_jax_f32(dim_bct(jnp.asarray(self.dataset)))
+                if self._R is None:
+                    self._R = y.shape[0]
+                if self.mesh is not None:
+                    from shadowing_tpu.parallel.sharding import shard_dataset
 
-                y = shard_dataset(y, self.mesh)
+                    y = shard_dataset(y, self.mesh)
             self._y = y
         return self._y
 

@@ -215,3 +215,103 @@ class TestEngineMesh:
                               stride=16)
         np.testing.assert_allclose(rm.predicted, r0.predicted, rtol=1e-6)
         np.testing.assert_array_equal(rm.realized, r0.realized)
+
+
+class TestMultiHost:
+    """Multi-host seams (single-process here; the process grid is faked
+    where the logic depends on it — real pods only add
+    jax.distributed.initialize)."""
+
+    def test_task_split(self, monkeypatch):
+        from shadowing_tpu.parallel import multihost
+
+        # explicit job-array args always win
+        assert multihost.task_split(4, 3) == (4, 3)
+        # single-process defaults: one task
+        assert multihost.task_split() == (1, 0)
+        # process grid supplies the defaults on a pod slice
+        monkeypatch.setattr(jax, "process_count", lambda: 8)
+        monkeypatch.setattr(jax, "process_index", lambda: 5)
+        assert multihost.task_split() == (8, 5)
+        # explicit ntot with grid-derived tid
+        assert multihost.task_split(8, None) == (8, 5)
+        with pytest.raises(ValueError):
+            multihost.task_split(4, 7)
+
+    def _fake_mesh(self, per_proc, n_proc, rpd_devices=None):
+        from types import SimpleNamespace
+
+        devs = [
+            SimpleNamespace(process_index=p)
+            for p in range(n_proc)
+            for _ in range(per_proc)
+        ]
+        return SimpleNamespace(
+            devices=np.array(devs, dtype=object),
+            shape={"data": per_proc * n_proc},
+        )
+
+    def test_host_row_range_partitions_exactly(self, monkeypatch):
+        from shadowing_tpu.parallel import multihost
+
+        mesh = self._fake_mesh(per_proc=4, n_proc=2)   # 8 devices, 2 hosts
+        R_true = 30                                     # pads to 32, rpd=4
+        ranges = []
+        for p in range(2):
+            monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+            ranges.append(multihost.host_row_range(R_true, mesh))
+        assert ranges == [(0, 16), (16, 32)]
+
+    def test_non_contiguous_process_devices_raise(self):
+        from types import SimpleNamespace
+
+        from shadowing_tpu.parallel import multihost
+
+        devs = [SimpleNamespace(process_index=p) for p in (0, 1, 0, 1)]
+        mesh = SimpleNamespace(devices=np.array(devs, dtype=object),
+                               shape={"data": 4})
+        with pytest.raises(ValueError, match="contiguous"):
+            multihost._mesh_process_blocks(mesh)
+
+    def test_shard_dataset_from_local_pads_and_places(self, rng):
+        from shadowing_tpu.parallel.multihost import (
+            host_row_range,
+            shard_dataset_from_local,
+        )
+
+        mesh = data_mesh(8)
+        R_true, C, T = 19, 1, 32                        # pads to 24
+        y = rng.normal(size=(R_true, C, T)).astype(np.float32)
+        start, stop = host_row_range(R_true, mesh)
+        assert (start, stop) == (0, 24)                 # one process owns all
+        g = shard_dataset_from_local(y, mesh, R_true)
+        assert g.shape == (24, C, T)
+        got = np.asarray(g)
+        np.testing.assert_array_equal(got[:19], y)
+        np.testing.assert_array_equal(got[19:], 0.0)
+        # wrong row count is rejected loudly
+        with pytest.raises(ValueError, match="owns rows"):
+            shard_dataset_from_local(y[:5], mesh, R_true)
+
+    def test_engine_accepts_preassembled_global_dataset(self, rng):
+        """The multi-host entry: a pre-sharded, pre-padded global array +
+        n_trajectories must reproduce the numpy-dataset result exactly."""
+        from shadowing_tpu import PathShadowing, PredictionContext
+        from shadowing_tpu.parallel.multihost import shard_dataset_from_local
+
+        mesh = data_mesh(8)
+        R_true = 43
+        dataset = rng.normal(0, 0.02, size=(R_true, 1, 128)).astype(np.float32)
+        ctx = rng.normal(0, 0.02, size=(2, 1, 16)).astype(np.float32)
+        g = shard_dataset_from_local(dataset, mesh, R_true)
+
+        mk = lambda ds, **kw: PathShadowing(
+            Identity(16), RelativeMSE(), ds, PredictionContext(horizon=8),
+            **kw,
+        )
+        d0, p0, i0 = mk(dataset).shadow(ctx, k=12)
+        dm, pm, im = mk(g, mesh=mesh, n_trajectories=R_true).shadow(ctx, k=12)
+        np.testing.assert_array_equal(im, i0)
+        np.testing.assert_array_equal(dm, d0)
+        np.testing.assert_array_equal(pm, p0)
+        assert (np.asarray(im)[..., 0] < R_true).all()
