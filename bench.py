@@ -27,6 +27,16 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").replace(" ", "").split(","):
+    # an interpreter-startup hook may have pinned another backend; honor
+    # the explicit env request (needed for the virtual-mesh CPU smoke)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 REF_BASELINE_S = 2.65  # testing.ipynb cell 3 tqdm output (reference GPU)
 
 
@@ -63,8 +73,15 @@ def bench_target_config():
     Ts = np.array([5, 10, 20])
     Ms = np.linspace(-2, 2, 9)
 
+    mesh = None
+    if os.environ.get("BENCH_MESH"):  # run the pipeline mesh-sharded instead
+        from shadowing_tpu.parallel.sharding import data_mesh
+
+        mesh = data_mesh(int(os.environ["BENCH_MESH"]))
+        log(f"[target] mesh mode: {mesh.shape}")
     obj = PathShadowing(
-        Identity(20), RelativeMSE(), dataset, PredictionContext(horizon=20)
+        Identity(20), RelativeMSE(), dataset, PredictionContext(horizon=20),
+        mesh=mesh,
     )
     to_predict = lambda x: realized_variance(x[:, :, 0, :], Ts=Ts, vol=False)
 
@@ -138,12 +155,14 @@ def bench_generation():
     from shadowing_tpu import SPDaily
     from shadowing_tpu.models.scattering.moments import scattering_stats
     from shadowing_tpu.models.scattering.synthesis import (
+        _bucket_sizes,
         _optimize_segment,
+        _optimize_segment_compact,
         synthesize_batch,
     )
     from shadowing_tpu.models.scattering.wavelets import build_filter_bank
 
-    batch, J, T, tol, max_iter = 256, 9, 4096, 1e-2, 1000
+    batch, J, T, tol, max_iter, seg = 256, 9, 4096, 1e-2, 1000, 100
 
     snp = SPDaily(start="03-01-2000", end="31-12-2014")
     dlnx = np.ravel(snp.dlnx).astype(np.float64)
@@ -157,16 +176,34 @@ def bench_generation():
         t0 = time.perf_counter()
         _, rms = synthesize_batch(
             jax.random.PRNGKey(seed), target, bank, batch=batch,
-            max_iterations=max_iter, tol=tol, compact=compact, work_log=wl,
+            max_iterations=max_iter, tol=tol, segment=seg, compact=compact,
+            work_log=wl,
         )
         return time.perf_counter() - t0, rms, wl
 
     dt_cold, _, _ = run(0)
-    log(f"[gen] cold (compiles): {dt_cold:.1f}s")
+    # warm the jit call cache for every bucket shape the compacted runs can
+    # visit (one short call each), then one untimed full run: the axon
+    # remote backend pays a large one-off program-load cost on the first
+    # dispatch after compilation, and its executables never hit the
+    # persistent cache (observed: only CPU entries are written), so steady
+    # state starts at the second full pass within the process
+    z0 = jnp.zeros((batch, T), jnp.float32)
+    psi = jnp.asarray(bank.psi_hat)
+    for nb in _bucket_sizes(batch):
+        out = _optimize_segment_compact(
+            z0, z0, z0, jnp.zeros((nb,), jnp.int32), jnp.asarray(0.0),
+            target, psi, J=J, n_steps=seg,
+        )
+        np.asarray(out[-1])
+    dt_pipe, _, _ = run(99)
+    log(f"[gen] cold (compiles + warm-up): {dt_cold:.1f}s, "
+        f"pipe-cleaner run: {dt_pipe:.1f}s")
     times, rms, wl = [], None, None
-    for seed in (1, 2):
+    for seed in (1, 2, 3):
         dt, rms, wl = run(seed)
         times.append(dt)
+    log(f"[gen] warm run times: {[round(t, 1) for t in times]}s")
     t_warm = float(np.median(times))
     pps = batch / t_warm
     conv = float((rms < tol).mean())
@@ -199,13 +236,17 @@ def bench_generation():
                                    jnp.float32)
             zeros = jnp.zeros_like(z0)
             i0 = jnp.asarray(0.0)
-            # warm the CPU jit (2 steps), then measure
+            # warm the CPU jit (2 steps), then measure (median of 3 —
+            # host timing is noisy under concurrent load)
             np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c, psi_c,
                                          J=J, n_steps=2)[0])
-            t0 = time.perf_counter()
-            np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c, psi_c,
-                                         J=J, n_steps=steps_cpu)[0])
-            dt_cpu = time.perf_counter() - t0
+            ts_cpu = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c,
+                                             psi_c, J=J, n_steps=steps_cpu)[0])
+                ts_cpu.append(time.perf_counter() - t0)
+            dt_cpu = float(np.median(ts_cpu))
         per_seed_step_cpu = dt_cpu / (steps_cpu * b_cpu)
         cpu_pps = batch / (per_seed_step_cpu * wl["seed_steps"])
         gen_vs_cpu = pps / cpu_pps

@@ -53,14 +53,6 @@ def _index_triples(J: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return arr[:, 0], arr[:, 1], arr[:, 2]
 
 
-def _pair_id(J: int) -> np.ndarray:
-    """Map (a, b) with a < b to its rank in the _index_pairs ordering."""
-    pid = np.full((J, J), -1, dtype=np.int32)
-    ia, ib = _index_pairs(J)
-    pid[ia, ib] = np.arange(len(ia), dtype=np.int32)
-    return pid
-
-
 def n_stats(J: int) -> int:
     n_pairs = J * (J - 1) // 2
     n_trip = len(_index_triples(J)[0])
@@ -91,36 +83,41 @@ def _scattering_stats_flat(
         jnp.maximum(p2, 1e-30)
     )
 
-    # second-level transforms of the centred envelopes — only the needed
-    # (a, b) pairs with a < b (all Phi_3 and Phi_4 terms reference these).
-    # Gathers on traced tensors are expressed as one-hot matmuls: their
-    # backward pass is another matmul (MXU), not a scatter-add (whose scoped
-    # VMEM blows up at production batch sizes — observed on v5e).
+    # Phi_3 / Phi_4 never need the second-level transforms in the *time*
+    # domain: by Parseval, for any pair of spectra F, G,
+    #   mean_t( ifft(F) conj(ifft(G)) ) = (1/T^2) sum_w F(w) conj(G(w)),
+    # and both statistics pair spectra that share the SAME outer wavelet:
+    #   Phi_3(a,b)   = <W_b(e_a) conj(W_b x)>   -> sum_w ef_a conj(xf) |psi_b|^2
+    #   Phi_4(a,b,c) = <W_c(e_a) conj(W_c(e_b))>-> sum_w ef_a conj(ef_b) |psi_c|^2
+    # with e_j the centred envelopes. So the whole W_c(e_a) ifft pass, the
+    # one-hot pair expansion, and the (B, n_pairs, T) intermediates vanish;
+    # what remains is one weighted (MXU) contraction per statistic. The
+    # wavelets are analytic (psi_hat = 0 for w < 0, tested), so the sums run
+    # over the non-negative half-spectrum only.
     envc = env - env.mean(axis=-1, keepdims=True)
     ef = jnp.fft.fft(envc, axis=-1)                     # (B, J, T)
-    ia, ib = _index_pairs(J)
-    sel_a = jnp.asarray(np.eye(J, dtype=np.float32)[ia])   # (P, J)
-    sel_b = jnp.asarray(np.eye(J, dtype=np.float32)[ib])
-    ef_a = jnp.einsum("pj,bjt->bpt", sel_a, ef,
-                      precision=jax.lax.Precision.HIGH)  # (B, P, T)
-    we = jnp.fft.ifft(ef_a * psi_hat[ib][None], axis=-1)  # (B, P, T)
+    half = T // 2 + 1
+    S = (jnp.abs(psi_hat) ** 2)[:, :half]               # (J, half) real
+    ef_h = ef[..., :half]
+    xf_h = xf[..., :half]
+    inv_T2 = 1.0 / (jnp.float32(T) * T)
 
-    # Phi_3: <W_b(|W_a x|) conj(W_b x)> / (sig_a sig_b)
-    w_b = jnp.einsum("pj,bjt->bpt", sel_b, w,
-                     precision=jax.lax.Precision.HIGH)
-    phi3 = (we * jnp.conj(w_b)).mean(axis=-1)
-    phi3 = phi3 / (sig[:, ia] * sig[:, ib])
+    ia, ib = _index_pairs(J)
+    z3 = ef_h * jnp.conj(xf_h)[:, None, :]               # (B, J, half)
+    phi3_full = jnp.einsum("bat,jt->baj", z3, S,
+                           precision=jax.lax.Precision.HIGH) * inv_T2
+    phi3 = phi3_full[:, ia, ib] / (sig[:, ia] * sig[:, ib])
 
     ta, tb, tc = _index_triples(J)
-    pid = _pair_id(J)
-    p_ac = jnp.asarray(pid[ta, tc])
-    p_bc = jnp.asarray(pid[tb, tc])
-    # Phi_4 via the pair Gram matrix (one complex MXU matmul); the triple
-    # selection then gathers scalars from (B, P, P) — trivially cheap both
-    # ways
-    gram = jnp.einsum("bpt,bqt->bpq", we, jnp.conj(we),
-                      precision=jax.lax.Precision.HIGH) / T
-    phi4 = gram[:, p_ac, p_bc]
+    # one small weighted Gram per correlating scale c (J of them); the
+    # triple selection gathers scalars from (B, J, J, J) — trivially cheap
+    grams = [
+        jnp.einsum("bat,bqt->baq", ef_h * S[c][None, None, :],
+                   jnp.conj(ef_h), precision=jax.lax.Precision.HIGH)
+        for c in range(J)
+    ]
+    G = jnp.stack(grams, axis=1) * inv_T2               # (B, c, a, b)
+    phi4 = G[:, tc, ta, tb]
     phi4 = phi4 / (sig[:, ta] * sig[:, tb])
 
     # mean as a t-statistic (O(1), comparable to the other stats)

@@ -74,6 +74,52 @@ class TestStats:
         # intermittent signals are sparser: lower <|W|>^2/<|W|^2>
         assert (s_h.sparsity() < s_g.sparsity() - 0.03).all()
 
+    def test_phi3_phi4_match_time_domain_oracle(self, rng):
+        """The frequency-domain (Parseval) forms must equal the defining
+        time-domain correlations <W_b(|W_a x|) conj(W_b x)> and
+        <W_c(|W_a x|) conj(W_c(|W_b x|))>, computed brute-force in f64."""
+        from shadowing_tpu.models.scattering.moments import (
+            ScatteringStats,
+            _index_pairs,
+            _index_triples,
+        )
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        x = rng.standard_t(5, size=(2, T)).astype(np.float32)
+        flat = np.asarray(
+            scattering_stats(jnp.asarray(x), bank, average=False)
+        )
+
+        psi = np.asarray(bank.psi_hat)
+        xc = (x - x.mean(-1, keepdims=True)).astype(np.float64)
+        xf = np.fft.fft(xc, axis=-1)
+        w = np.fft.ifft(xf[:, None] * psi[None], axis=-1)      # (B, J, T)
+        env = np.abs(w)
+        sig = np.sqrt((env**2).mean(-1))
+        envc = env - env.mean(-1, keepdims=True)
+        ef = np.fft.fft(envc, axis=-1)
+        # W_b(e_a) for all (a, b), brute force in the time domain
+        we = np.fft.ifft(ef[:, :, None, :] * psi[None, None], axis=-1)
+
+        st = ScatteringStats(J, flat[0])
+        sl = st._slices()
+        ia, ib = _index_pairs(J)
+        phi3 = (we[:, ia, ib] * np.conj(w[:, ib])).mean(-1)
+        phi3 /= sig[:, ia] * sig[:, ib]
+        np.testing.assert_allclose(flat[:, sl["phi3_re"]], phi3.real,
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(flat[:, sl["phi3_im"]], phi3.imag,
+                                   rtol=2e-4, atol=1e-6)
+
+        ta, tb, tc = _index_triples(J)
+        phi4 = (we[:, ta, tc] * np.conj(we[:, tb, tc])).mean(-1)
+        phi4 /= sig[:, ta] * sig[:, tb]
+        np.testing.assert_allclose(flat[:, sl["phi4_re"]], phi4.real,
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(flat[:, sl["phi4_im"]], phi4.imag,
+                                   rtol=2e-4, atol=1e-6)
+
     def test_leverage_breaks_phi3_symmetry(self):
         """A series with sign-vol correlation (leverage) must produce a
         clearly larger |phi3| than its sign-symmetric surrogate."""
