@@ -512,13 +512,22 @@ class PathShadowing:
             ``(trajectory, window start)``
         """
         del cuda
-        dists, paths, idces = self.shadow_device(x_context, k, n_splits, method)
-        if exact_dtype == "float64":
-            return self._rescore_host_f64(x_context, paths, idces)
-        if exact_dtype != "float32":
+        if exact_dtype not in ("float32", "float64"):
             raise ValueError(f"exact_dtype must be float32/float64, got "
                              f"{exact_dtype!r}")
-        return as_numpy(dists), as_numpy(paths), as_numpy(idces)
+        # one host round-trip: the certification flag rides the result
+        # fetch instead of forcing its own sync (a round trip through the
+        # remote runtime costs ~26 ms — see CLAUDE.md)
+        dists, paths, idces, ok, redo = self._submit_shadow(
+            x_context, k, n_splits, method
+        )
+        d_h, p_h, i_h, ok_h = jax.device_get((dists, paths, idces, ok))
+        if not ok_h.all():
+            dists, paths, idces = redo(ok_h)
+            d_h, p_h, i_h = jax.device_get((dists, paths, idces))
+        if exact_dtype == "float64":
+            return self._rescore_host_f64(x_context, p_h, i_h)
+        return d_h, p_h, i_h
 
     def _rescore_host_f64(self, x_context, paths, idces):
         """Re-score the winners in host float64 and re-sort (stable), closing
@@ -550,6 +559,30 @@ class PathShadowing:
         pipelines (prediction, pricing) without host round-trips (the
         host<->device hop costs ~0.7 s for 10k paths through a remote
         tunnel, vs ~1 ms of actual compute)."""
+        dists, paths, idces, ok, redo = self._submit_shadow(
+            x_context, k, n_splits, method, tournament_cap
+        )
+        ok_h = np.asarray(ok)
+        if not ok_h.all():
+            dists, paths, idces = redo(ok_h)
+        return dists, paths, idces
+
+    def _submit_shadow(
+        self,
+        x_context: Array,
+        k: int = 1,
+        n_splits: Optional[int] = None,
+        method: str = "auto",
+        tournament_cap: Optional[int] = None,
+    ):
+        """Submit search + optimistic finalize with NO host sync.
+
+        Returns device arrays ``(dists, paths, idces, ok)`` plus
+        ``redo(ok_host)``, which re-resolves the failed contexts with the
+        sort-exact oracle and re-finalizes (the statistically rare
+        certification-failure path — the only one that pays extra round
+        trips).
+        """
         x_context = dim_bct(np.asarray(x_context, dtype=np.float32))
         if x_context.shape[-1] != self.embedding.width:
             raise ValueError(
@@ -626,35 +659,44 @@ class PathShadowing:
                     n_splits=n_splits, distance=self.distance,
                     cap=tournament_cap,
                 )
-            ok_host = np.asarray(ok)
-            if not ok_host.all():
-                # certification failed for some contexts (pathological score
-                # clustering): redo those with the sort-exact oracle
-                redo = np.nonzero(~ok_host)[0]
-                _, idx_exact = _direct_search(
-                    y, x_emb[redo], kernel_dev, k=k, n_out=n_out,
-                    # re-budget: direct materialises d-dim embeddings per
-                    # row, far more than the fused chunks were sized for
-                    n_splits=self._auto_splits(len(redo), n_out, d, "direct"),
-                    distance=self.distance,
-                )
-                flat_idx = np.array(flat_idx)  # writable host copy
-                flat_idx[redo] = np.asarray(idx_exact)
-                flat_idx = jnp.asarray(flat_idx)
         elif method == "direct":
             _, flat_idx = _direct_search(
                 y, x_emb, kernel_dev, k=k, n_out=n_out, n_splits=n_splits,
                 distance=self.distance,
             )
+            ok = jnp.ones((x_context.shape[0],), jnp.bool_)
         else:
             raise ValueError(f"unknown method {method!r}")
 
         w_extract = x_context.shape[-1] + self.context.get_out_times()
-        return _finalize_shadow(
-            y, flat_idx, x_emb, jnp.asarray(self.embedding.kernel),
+        kernel_raw = jnp.asarray(self.embedding.kernel)
+        fin = _finalize_shadow(
+            y, flat_idx, x_emb, kernel_raw,
             n_out=n_out, w_extract=w_extract, distance=self.distance,
             select_in=self.context.select_in_context,
         )
+
+        def redo(ok_host):
+            # certification failed for some contexts (pathological score
+            # clustering): redo those with the sort-exact oracle, then
+            # re-finalize
+            rows = np.nonzero(~np.asarray(ok_host))[0]
+            _, idx_exact = _direct_search(
+                y, x_emb[rows], kernel_dev, k=k, n_out=n_out,
+                # re-budget: direct materialises d-dim embeddings per
+                # row, far more than the fused chunks were sized for
+                n_splits=self._auto_splits(len(rows), n_out, d, "direct"),
+                distance=self.distance,
+            )
+            fi = np.array(flat_idx)  # writable host copy
+            fi[rows] = np.asarray(idx_exact)
+            return _finalize_shadow(
+                y, jnp.asarray(fi), x_emb, kernel_raw,
+                n_out=n_out, w_extract=w_extract, distance=self.distance,
+                select_in=self.context.select_in_context,
+            )
+
+        return (*fin, ok, redo)
 
     def _shadow_mesh(
         self, x_context, k, n_splits, method, tournament_cap,
@@ -662,7 +704,8 @@ class PathShadowing:
     ):
         """Mesh twin of the single-device search + finalize flow: per-device
         fast kernels, ICI all_gather k-merge, sharded extraction, replicated
-        exact rescore — results array-identical to ``mesh=None``."""
+        exact rescore — results array-identical to ``mesh=None``. Same
+        deferred-certification contract as :meth:`_submit_shadow`."""
         from shadowing_tpu.parallel import sharding as psh
 
         kernel_dev = jnp.asarray(kernel)
@@ -682,32 +725,40 @@ class PathShadowing:
                 cap=tournament_cap,
                 local_method="pallas" if method == "pallas" else "fused",
             )
-            ok_host = np.asarray(ok)
-            if not ok_host.all():
-                redo = np.nonzero(~ok_host)[0]
-                _, idx_exact = psh.sharded_direct_search(
-                    y, x_emb[redo], kernel_dev, k=k, n_out=n_out,
-                    distance=self.distance, R_true=self.R, mesh=self.mesh,
-                    n_splits=self._auto_splits(len(redo), n_out, d, "direct"),
-                )
-                flat_idx = np.array(flat_idx)  # writable host copy
-                flat_idx[redo] = np.asarray(idx_exact)
-                flat_idx = jnp.asarray(flat_idx)
         elif method == "direct":
             _, flat_idx = psh.sharded_direct_search(
                 y, x_emb, kernel_dev, k=k, n_out=n_out,
                 distance=self.distance, R_true=self.R, mesh=self.mesh,
                 n_splits=n_splits,
             )
+            ok = jnp.ones((x_context.shape[0],), jnp.bool_)
         else:
             raise ValueError(f"unknown method {method!r}")
 
         w_extract = x_context.shape[-1] + self.context.get_out_times()
-        return psh.sharded_finalize_shadow(
-            y, flat_idx, x_emb, jnp.asarray(self.embedding.kernel),
+        kernel_raw = jnp.asarray(self.embedding.kernel)
+        fin = psh.sharded_finalize_shadow(
+            y, flat_idx, x_emb, kernel_raw,
             n_out=n_out, w_extract=w_extract, distance=self.distance,
             select_in=self.context.select_in_context, mesh=self.mesh,
         )
+
+        def redo(ok_host):
+            rows = np.nonzero(~np.asarray(ok_host))[0]
+            _, idx_exact = psh.sharded_direct_search(
+                y, x_emb[rows], kernel_dev, k=k, n_out=n_out,
+                distance=self.distance, R_true=self.R, mesh=self.mesh,
+                n_splits=self._auto_splits(len(rows), n_out, d, "direct"),
+            )
+            fi = np.array(flat_idx)  # writable host copy
+            fi[rows] = np.asarray(idx_exact)
+            return psh.sharded_finalize_shadow(
+                y, jnp.asarray(fi), x_emb, kernel_raw,
+                n_out=n_out, w_extract=w_extract, distance=self.distance,
+                select_in=self.context.select_in_context, mesh=self.mesh,
+            )
+
+        return (*fin, ok, redo)
 
     # -- prediction --------------------------------------------------------
     @staticmethod
@@ -766,14 +817,25 @@ class PathShadowing:
         """
         from shadowing_tpu.pricing.hedged_mc import compute_smile_batch
 
-        dists, paths, _ = self.shadow_device(x_context, k, n_splits, method)
-        prices, weights = _smile_inputs(
-            dists, self.context.select_out_context(paths),
-            eta=float(eta), x_init=float(x_init),
+        dists, paths, _, ok, redo = self._submit_shadow(
+            x_context, k, n_splits, method
         )
-        # prices start exactly at x_init by construction: skip validation
-        return compute_smile_batch(prices, Ts, Ms, r, weights=weights,
-                                   validate=False)
+
+        def build(dists, paths):
+            prices, weights = _smile_inputs(
+                dists, self.context.select_out_context(paths),
+                eta=float(eta), x_init=float(x_init),
+            )
+            # prices start at x_init by construction: skip validation
+            return compute_smile_batch(prices, Ts, Ms, r, weights=weights,
+                                       validate=False)
+
+        smile = build(dists, paths)  # submitted behind the search pipeline
+        ok_h = np.asarray(ok)        # ready by now — no extra round trip
+        if not ok_h.all():           # rare: certification failed somewhere
+            d2, p2, _ = redo(ok_h)
+            smile = build(d2, p2)
+        return smile
 
     def predict(
         self,
@@ -806,10 +868,25 @@ class PathShadowing:
 
         preds, stds = [], []
         for s in range(0, x_context.shape[0], chunk):
-            d, p, _ = self.shadow_device(
+            d, p, _, ok, redo = self._submit_shadow(
                 x_context[s : s + chunk], k, n_dataset_splits, method
             )
-            a, b = self.predict_from_paths(d, p, to_predict, proba_name, eta)
-            preds.append(a)
-            stds.append(b)
+            # aggregation is submitted behind the search; the certification
+            # flag then rides the result fetch (no standalone sync)
+            a, b = _aggregate_predictions(
+                d, p, to_predict=to_predict, proba_name=proba_name,
+                eta=eta if eta is None else float(eta),
+                select_out=self.context.select_out_context,
+            )
+            a_h, b_h, ok_h = jax.device_get((a, b, ok))
+            if not ok_h.all():  # rare: redo with the sort-exact oracle
+                d, p, _ = redo(ok_h)
+                a, b = _aggregate_predictions(
+                    d, p, to_predict=to_predict, proba_name=proba_name,
+                    eta=eta if eta is None else float(eta),
+                    select_out=self.context.select_out_context,
+                )
+                a_h, b_h = jax.device_get((a, b))
+            preds.append(np.asarray(a_h))
+            stds.append(np.asarray(b_h))
         return np.concatenate(preds)[:B], np.concatenate(stds)[:B]
