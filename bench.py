@@ -59,11 +59,8 @@ def bench_target_config():
         Identity,
         PathShadowing,
         PredictionContext,
-        PriceData,
         RelativeMSE,
         SPDaily,
-        Softmax,
-        compute_smile,
         realized_variance,
     )
 
@@ -86,19 +83,14 @@ def bench_target_config():
     to_predict = lambda x: realized_variance(x[:, :, 0, :], Ts=Ts, vol=False)
 
     def e2e():
-        # device-resident: one search feeds both the vol prediction and the
-        # conditional smile; only final grids reach the host
-        d, p, _ = obj.shadow_device(ctx, k=1024)
-        vars_, _ = obj.predict_from_paths(d, p, to_predict, "softmax", 0.1)
-        import jax.numpy as jnp
-
-        fut = obj.context.select_out_context(p)[0, :, 0, :]
-        lnx = jnp.concatenate(
-            [jnp.zeros((1024, 1)), jnp.cumsum(fut, axis=-1)], axis=-1
+        # one search feeds both the vol prediction and the conditional
+        # smile, device-resident end to end; only final grids reach the
+        # host (two batched round trips total)
+        vars_, _, smiles = obj.predict_and_smile(
+            ctx, k=1024, to_predict=to_predict, Ts=Ts, Ms=Ms,
+            eta=0.1, eta_smile=0.075,
         )
-        ave = Softmax(d[0], eta=0.075)
-        smile = compute_smile(jnp.exp(lnx) * 100.0, Ts, Ms, 0.0, ave)
-        return vars_, smile
+        return vars_, smiles[0]
 
     t0 = time.perf_counter()
     e2e()  # compile + norms cache

@@ -837,6 +837,58 @@ class PathShadowing:
             smile = build(d2, p2)
         return smile
 
+    def predict_and_smile(
+        self,
+        x_context: Array,
+        k: int,
+        to_predict: Callable[[Array], Array],
+        Ts,
+        Ms,
+        eta: float = 0.1,
+        eta_smile: float = 0.075,
+        r: float = 0.0,
+        x_init: float = 100.0,
+        proba_name: str = "softmax",
+        n_splits: Optional[int] = None,
+        method: str = "auto",
+    ):
+        """One search, both products: volatility prediction + conditional
+        Hedged-MC smiles for every context, from a single device-resident
+        pipeline (search -> futures -> aggregate + price). Two host round
+        trips total (the smile grids and the prediction aggregates) —
+        calling :meth:`predict` and :meth:`conditional_smile` separately
+        would search twice and sync four times.
+
+        :return: ``(avg (B, ...), std (B, ...), [B Smile objects])``
+        """
+        from shadowing_tpu.pricing.hedged_mc import compute_smile_batch
+
+        d, p, _, ok, redo = self._submit_shadow(
+            x_context, k, n_splits, method
+        )
+
+        def build(d, p):
+            a, b = _aggregate_predictions(
+                d, p, to_predict=to_predict, proba_name=proba_name,
+                eta=eta if eta is None else float(eta),
+                select_out=self.context.select_out_context,
+            )
+            prices, weights = _smile_inputs(
+                d, self.context.select_out_context(p),
+                eta=float(eta_smile), x_init=float(x_init),
+            )
+            smiles = compute_smile_batch(prices, Ts, Ms, r, weights=weights,
+                                         validate=False)
+            return a, b, smiles
+
+        a, b, smiles = build(d, p)
+        a_h, b_h, ok_h = jax.device_get((a, b, ok))
+        if not ok_h.all():  # rare: redo failed contexts with the oracle
+            d, p, _ = redo(ok_h)
+            a, b, smiles = build(d, p)
+            a_h, b_h = jax.device_get((a, b))
+        return np.asarray(a_h), np.asarray(b_h), smiles
+
     def predict(
         self,
         x_context: Array,

@@ -247,6 +247,34 @@ class TestConditionalSmile:
             assert (finite > 0).all()
 
 
+class TestPredictAndSmile:
+    def test_matches_separate_calls(self, small_problem):
+        """The fused predict+smile pipeline must reproduce predict() and
+        conditional_smile() exactly (same search, same aggregates)."""
+        from shadowing_tpu.stats.realized import realized_variance
+
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        f = lambda p: realized_variance(p[:, :, 0, :], Ts=[4, 8], vol=False)
+        Ts, Ms = [4, 8], [-1.0, 0.0, 1.0]
+
+        avg, std, smiles = obj.predict_and_smile(
+            x_context[:2], k=32, to_predict=f, Ts=Ts, Ms=Ms,
+            eta=0.3, eta_smile=0.5,
+        )
+        a_ref, s_ref = obj.predict(x_context[:2], k=32, to_predict=f, eta=0.3)
+        np.testing.assert_allclose(avg, a_ref, rtol=1e-6)
+        np.testing.assert_allclose(std, s_ref, rtol=1e-6)
+        sm_ref = obj.conditional_smile(x_context[:2], k=32, Ts=Ts, Ms=Ms,
+                                       eta=0.5)
+        assert len(smiles) == 2
+        for s, sr in zip(smiles, sm_ref):
+            np.testing.assert_allclose(s.prices, sr.prices, rtol=1e-6)
+            np.testing.assert_array_equal(np.isfinite(s.vols),
+                                          np.isfinite(sr.vols))
+
+
 class TestCertificationFallback:
     def test_tiny_cap_falls_back_to_exact(self, small_problem):
         """Force the tournament certification to fail (cap of 1 block): the
