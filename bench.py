@@ -255,7 +255,42 @@ def bench_generation():
     }
 
 
+def calibrate_platform():
+    """Print the device envelope so the numbers have context: this rig's
+    axon tunnel exposes a cut-down chip (fraction of full v5e spec)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(np.asarray(f(x)))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x)))
+        ts.append(time.perf_counter() - t0)
+    rtt = min(ts)
+    big = jnp.ones((512, 1024, 1024), jnp.float32)     # 2.1 GB
+    g = jax.jit(lambda x: x.sum())
+    float(np.asarray(g(big)))
+    t0 = time.perf_counter()
+    float(np.asarray(g(big)))
+    bw = big.nbytes / (time.perf_counter() - t0) / 1e9
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    mm = jax.jit(lambda a, b: (a @ b).sum(dtype=jnp.float32))
+    float(np.asarray(mm(a, a)))
+    t0 = time.perf_counter()
+    float(np.asarray(mm(a, a)))
+    tf = 2 * 4096**3 / (time.perf_counter() - t0) / 1e12
+    del big, a
+    log(f"[platform] sync RTT {rtt*1e3:.0f} ms | HBM ~{bw:.0f} GB/s | "
+        f"matmul ~{tf:.0f} TFLOP/s bf16 "
+        f"(full v5e spec: 819 GB/s, 394 TFLOP/s)")
+
+
 def main():
+    if os.environ.get("BENCH_SKIP_CALIBRATE") != "1":
+        calibrate_platform()
     t_target = bench_target_config()
     vs = None
     if os.environ.get("BENCH_SKIP_REF") != "1":

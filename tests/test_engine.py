@@ -276,6 +276,54 @@ class TestPredictAndSmile:
 
 
 class TestCertificationFallback:
+    def test_shadow_redo_path(self, small_problem, monkeypatch):
+        """Deferred certification in shadow(): force every tournament to
+        fail; the redo closure must still return the exact answer."""
+        from shadowing_tpu.shadow import engine as eng
+
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        d_ref, p_ref, i_ref = obj.shadow(x_context, k=32)
+
+        orig = eng._fused_search
+
+        def forced(*a, **kw):
+            kw["cap"] = 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(eng, "_fused_search", forced)
+        obj2 = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                             PredictionContext(horizon=16))
+        d, p, i = obj2.shadow(x_context, k=32, method="fused")
+        np.testing.assert_array_equal(i, i_ref)
+        np.testing.assert_allclose(d, d_ref, rtol=1e-6)
+
+    def test_predict_redo_path(self, small_problem, monkeypatch):
+        from shadowing_tpu.shadow import engine as eng
+        from shadowing_tpu.stats.realized import realized_variance
+
+        dataset, x_context = small_problem
+        f = lambda p: realized_variance(p[:, :, 0, :], Ts=[4, 8], vol=False)
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        a_ref, s_ref = obj.predict(x_context, k=16, to_predict=f, eta=0.3,
+                                   method="fused")
+
+        orig = eng._fused_search
+
+        def forced(*a, **kw):
+            kw["cap"] = 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(eng, "_fused_search", forced)
+        obj2 = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                             PredictionContext(horizon=16))
+        a, s = obj2.predict(x_context, k=16, to_predict=f, eta=0.3,
+                            method="fused")
+        np.testing.assert_allclose(a, a_ref, rtol=1e-6)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-5)
+
     def test_tiny_cap_falls_back_to_exact(self, small_problem):
         """Force the tournament certification to fail (cap of 1 block): the
         engine must detect it and still return the exact answer."""
