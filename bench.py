@@ -270,27 +270,41 @@ def calibrate_platform():
         float(np.asarray(f(x)))
         ts.append(time.perf_counter() - t0)
     rtt = min(ts)
+    # amortise the round trip over chained dispatches, else the RTT swamps
+    # the measurement
     big = jnp.ones((512, 1024, 1024), jnp.float32)     # 2.1 GB
-    g = jax.jit(lambda x: x.sum())
-    float(np.asarray(g(big)))
+    g = jax.jit(lambda x, s: x.sum() + s)
+    float(np.asarray(g(big, jnp.float32(0.0))))
     t0 = time.perf_counter()
-    float(np.asarray(g(big)))
-    bw = big.nbytes / (time.perf_counter() - t0) / 1e9
+    s = jnp.float32(0.0)
+    for _ in range(4):
+        s = g(big, s)
+    float(np.asarray(s))
+    bw = 4 * big.nbytes / max(time.perf_counter() - t0 - rtt, 1e-9) / 1e9
     a = jnp.ones((4096, 4096), jnp.bfloat16)
-    mm = jax.jit(lambda a, b: (a @ b).sum(dtype=jnp.float32))
-    float(np.asarray(mm(a, a)))
+    mm = jax.jit(lambda a, b: a @ b)
+    float(np.asarray(mm(a, a)[0, 0]))
     t0 = time.perf_counter()
-    float(np.asarray(mm(a, a)))
-    tf = 2 * 4096**3 / (time.perf_counter() - t0) / 1e12
-    del big, a
+    y = a
+    for _ in range(8):
+        y = mm(y, a)
+    float(np.asarray(y[0, 0]))
+    tf = 8 * 2 * 4096**3 / max(time.perf_counter() - t0 - rtt, 1e-9) / 1e12
+    del big, a, y
     log(f"[platform] sync RTT {rtt*1e3:.0f} ms | HBM ~{bw:.0f} GB/s | "
         f"matmul ~{tf:.0f} TFLOP/s bf16 "
         f"(full v5e spec: 819 GB/s, 394 TFLOP/s)")
+    return {
+        "platform_rtt_ms": round(rtt * 1e3, 1),
+        "platform_hbm_gbps": round(bw),
+        "platform_bf16_tflops": round(tf, 1),
+    }
 
 
 def main():
+    plat = {}
     if os.environ.get("BENCH_SKIP_CALIBRATE") != "1":
-        calibrate_platform()
+        plat = calibrate_platform()
     t_target = bench_target_config()
     vs = None
     if os.environ.get("BENCH_SKIP_REF") != "1":
@@ -307,6 +321,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         **gen,
+        **plat,
     }))
 
 
