@@ -164,13 +164,35 @@ def two_pass_search(
     Returns (scores (B, k) ascending, flat indices (B, k) = traj * n_out + t,
     ok (B,) certification flags).
     """
-    B, _, w = g.shape
+    y3, n2 = _pad_views(y, norms, n_out, w=g.shape[-1])
+    return two_pass_search_padded(y3, n2, g, k=k, n_out=n_out, cap=cap,
+                                  interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("k", "n_out", "cap", "interpret"))
+def two_pass_search_padded(
+    y3: jax.Array,       # (Rp, C, cols) from _pad_views (cacheable)
+    n2: jax.Array,       # (Rp, nblk * L) from _pad_views
+    g: jax.Array,        # (B, C, w) combined filters, w <= MAX_WIDTH
+    k: int,
+    n_out: int,
+    cap: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`two_pass_search` on pre-padded views (the padding copies cost
+    ~2 full-array passes; engines cache them next to the window norms).
+
+    Everything in pass 2 is batched *natively* over contexts — a
+    ``vmap(per_context)`` here turns the block gathers into batched
+    two-index gathers, which scalarise on TPU (measured 60 ms vs 15 ms for
+    the whole pass at B=1, reference config).
+    """
+    B, C, w = g.shape
     if w > MAX_WIDTH:
         raise ValueError(f"filter width {w} > {MAX_WIDTH} unsupported by the "
                          "pallas search; use the scan path")
     m = _seg_blocks(w)
-    y3, n2 = _pad_views(y, norms, n_out, w)
-    Rp, C, cols = y3.shape
+    Rp, _, cols = y3.shape
     nblk = n2.shape[1] // L
 
     # ---- pass 1: fused score + block minima (Pallas) -------------------
@@ -188,54 +210,53 @@ def two_pass_search(
     # ---- pass 2: global block selection + exact rescore (XLA) ----------
     G = jax.vmap(lambda gb: _toeplitz_ml(gb, m))(g)      # (B, C, mL, L)
 
-    def per_context(bmin_b, G_b):
-        # cap best blocks — hierarchical tournament instead of a flat
-        # top_k/sort over millions of block minima (the cap smallest minima
-        # occupy at most cap of the inner 128-blocks, so cap + slack inner
-        # blocks certify; a ~2x smaller array reaches the real sort)
-        mu_sel, bidx, sel_ok = topk_ops.topk_min(
-            bmin_b, cap, block=L, cap=cap + 128
-        )
-        mu_cap = jnp.where(cap < Rp * nblk, mu_sel[-1], jnp.inf)
-        bidx = jnp.sort(bidx)  # flat order: exact ties match the sort oracle
-        r = bidx // nblk
-        j = bidx % nblk
-        # candidate segments: one whole-ROW gather (contiguous last dim —
-        # DMA-friendly) followed by one-hot block selection on the MXU. A
-        # two-index gather here scalarises on TPU and costs ~30x more
-        # (measured 65 ms vs 2 ms for cap=10^4 on the reference config).
-        nb_y = cols // L
-        Zb = y3[r].reshape(cap, C, nb_y, L)              # (cap, C, nb_y, L)
-        seg = jnp.concatenate(
-            [
-                jnp.einsum("kb,kcbl->kcl",
-                           jax.nn.one_hot(j + t, nb_y, dtype=y3.dtype), Zb)
-                for t in range(m)
-            ],
-            axis=-1,
-        )                                                # (cap, C, mL)
-        cross = jnp.einsum("kcs,csl->kl", seg, G_b,
-                           precision=jax.lax.Precision.HIGHEST)
-        # norms rows likewise; +inf padding must not meet the one-hot zeros
-        # (inf * 0 = nan), so clamp to a huge finite loser after the gather
-        Nr = n2[r].reshape(cap, nblk, L)
-        Nr = jnp.where(jnp.isinf(Nr), jnp.float32(1e30), Nr)
-        nsel = jnp.einsum("kb,kbl->kl",
-                          jax.nn.one_hot(j, nblk, dtype=n2.dtype), Nr)
-        s = nsel - 2.0 * cross                           # (cap, L)
-        flat_idx = (r * nblk + j)[:, None] * L + jnp.arange(L)[None, :]
-        # final exact selection — tournament again; the k winners occupy at
-        # most k of the cap candidate rows, so a tight cap is certified-safe
-        vals, loc, fin_ok = topk_ops.topk_min(
-            s.reshape(-1), k, block=L, cap=k + 128
-        )
-        idx = flat_idx.reshape(-1)[loc]
-        # certification with a guard band for pass-1/pass-2 rounding skew
-        guard = 1e-5 * jnp.abs(mu_cap) + 1e-12
-        ok = jnp.where(jnp.isinf(mu_cap), True, vals[-1] + guard < mu_cap)
-        return vals, idx, ok & sel_ok & fin_ok
-
-    vals, idx, ok = jax.vmap(per_context)(bmin_flat, G)
+    # cap best blocks per context — hierarchical tournament instead of a
+    # flat top_k/sort over millions of block minima
+    mu_sel, bidx, sel_ok = topk_ops.topk_min_batched(
+        bmin_flat, cap, block=L, cap=cap + 128
+    )
+    mu_cap = jnp.where(cap < Rp * nblk, mu_sel[:, -1], jnp.inf)   # (B,)
+    bidx = jnp.sort(bidx, axis=-1)  # flat order: ties match the sort oracle
+    r = bidx // nblk                                     # (B, cap)
+    j = bidx % nblk
+    # candidate segments: one whole-ROW gather (contiguous last dim —
+    # DMA-friendly) followed by one-hot block selection on the MXU. A
+    # two-index gather here scalarises on TPU and costs ~30x more
+    # (measured 65 ms vs 2 ms for cap=10^4 on the reference config).
+    nb_y = cols // L
+    Zb = y3[r.reshape(-1)].reshape(B, cap, C, nb_y, L)
+    seg = jnp.concatenate(
+        [
+            jnp.einsum("bkn,bkcnl->bkcl",
+                       jax.nn.one_hot(j + t, nb_y, dtype=y3.dtype), Zb)
+            for t in range(m)
+        ],
+        axis=-1,
+    )                                                    # (B, cap, C, mL)
+    cross = jnp.einsum("bkcs,bcsl->bkl", seg, G,
+                       precision=jax.lax.Precision.HIGHEST)
+    # norms rows likewise; +inf padding must not meet the one-hot zeros
+    # (inf * 0 = nan), so clamp to a huge finite loser after the gather
+    Nr = n2[r.reshape(-1)].reshape(B, cap, nblk, L)
+    Nr = jnp.where(jnp.isinf(Nr), jnp.float32(1e30), Nr)
+    nsel = jnp.einsum("bkn,bknl->bkl",
+                      jax.nn.one_hot(j, nblk, dtype=n2.dtype), Nr)
+    s = nsel - 2.0 * cross                               # (B, cap, L)
+    flat_idx = (
+        (r * nblk + j)[:, :, None] * L
+        + jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    ).reshape(B, cap * L)
+    # final exact selection — tournament again; the k winners occupy at
+    # most k of the cap candidate rows, so a tight cap is certified-safe
+    vals, loc, fin_ok = topk_ops.topk_min_batched(
+        s.reshape(B, cap * L), k, block=L, cap=k + 128
+    )
+    loff = jnp.arange(B, dtype=jnp.int32)[:, None] * (cap * L)
+    idx = flat_idx.reshape(-1)[(loc + loff).reshape(-1)].reshape(B, k)
+    # certification with a guard band for pass-1/pass-2 rounding skew
+    guard = 1e-5 * jnp.abs(mu_cap) + 1e-12
+    ok = jnp.where(jnp.isinf(mu_cap), True, vals[:, -1] + guard < mu_cap)
+    ok = ok & sel_ok & fin_ok
     # padded-block flat ids -> true (traj * n_out + t) ids
     traj = idx // (nblk * L)
     t = idx % (nblk * L)

@@ -110,6 +110,69 @@ def topk_min(
     return TopKResult(values, indices.astype(jnp.int32), jnp.asarray(ok))
 
 
+class TopKBatchResult(NamedTuple):
+    values: jax.Array   # (B, k) ascending
+    indices: jax.Array  # (B, k) int32 flat indices into each row
+    ok: jax.Array       # (B,) bool per-row certification
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3), inline=True)
+def topk_min_batched(
+    scores: jax.Array,  # (B, N)
+    k: int,
+    block: int = _DEFAULT_BLOCK,
+    cap: int | None = None,
+) -> TopKBatchResult:
+    """Row-wise :func:`topk_min` over a 2-d score array, batched natively.
+
+    Do NOT ``vmap(topk_min)``: its block gathers become batched two-index
+    gathers, which scalarise on TPU (measured ~4x slowdown of the whole
+    pass at B=1). Here ``lax.top_k`` batches natively and every gather is
+    a flattened single-axis ROW gather.
+    """
+    B, n = scores.shape
+    if k > n:
+        raise ValueError(f"k={k} exceeds number of scores n={n}")
+    if n <= 4 * k or n <= 2 * block:
+        neg, idx = jax.lax.top_k(-scores, k)
+        return TopKBatchResult(-neg, idx.astype(jnp.int32),
+                               jnp.ones((B,), jnp.bool_))
+
+    cap = _tournament_cap(n, k, block, cap)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((B, pad), jnp.inf, scores.dtype)], axis=1
+        )
+    blocks = scores.reshape(B, n_blocks, block)
+
+    bmin = blocks.min(axis=2)                                # (B, G)
+    neg_mu, bidx = jax.lax.top_k(-bmin, cap)                 # (B, cap)
+    mu_cap = jnp.where(cap < n_blocks, -neg_mu[:, -1], jnp.inf)
+    bidx = jnp.sort(bidx, axis=-1)
+
+    # flattened row gather of the candidate blocks
+    rows = blocks.reshape(B * n_blocks, block)
+    goff = jnp.arange(B, dtype=jnp.int32)[:, None] * n_blocks
+    cand = rows[(bidx + goff).reshape(-1)].reshape(B, cap * block)
+    cand_idx = (
+        bidx[:, :, None] * block
+        + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    ).reshape(B, cap * block)
+    neg_v, local = jax.lax.top_k(-cand, k)                   # (B, k)
+    values = -neg_v
+    loff = jnp.arange(B, dtype=jnp.int32)[:, None] * (cap * block)
+    indices = cand_idx.reshape(-1)[(local + loff).reshape(-1)].reshape(B, k)
+    ok = (
+        values[:, -1] < mu_cap
+        if cap < n_blocks
+        else jnp.ones((B,), jnp.bool_)
+    )
+    return TopKBatchResult(values, indices.astype(jnp.int32),
+                           jnp.asarray(ok))
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3), inline=True)
 def topk_min_checked(
     scores: jax.Array,

@@ -267,10 +267,15 @@ def sharded_extract(
         mask = (ltraj >= 0) & (ltraj < r_loc)
         lt = jnp.clip(ltraj, 0, r_loc - 1)
         C, T = y_loc.shape[1], y_loc.shape[2]
-        locators = lt * T + t0                               # (B, k)
-        flat = jnp.moveaxis(y_loc, 1, 0).reshape(C, r_loc * T)
-        gather = flat[:, locators[..., None] + jnp.arange(w_extract)]
-        paths = jnp.moveaxis(gather, 0, 2)                   # (B, k, C, w)
+        B, k = lt.shape
+        # row gather + vmapped dynamic_slice (see engine._extract_paths:
+        # the two-index window gather scalarises on TPU)
+        rows = y_loc[lt.reshape(-1)]                         # (B*k, C, T)
+        sl = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (0, s),
+                                                 (C, w_extract))
+        )(rows, t0.reshape(-1))
+        paths = sl.reshape(B, k, C, w_extract)
         paths = jnp.where(mask[..., None, None], paths, 0.0)
         return jax.lax.psum(paths, DATA_AXIS)
 

@@ -100,3 +100,27 @@ def test_split_invariance_of_chunked_selection(rng):
     v2, i2 = chunked(64, 64)
     np.testing.assert_array_equal(v1, v2[:32])
     np.testing.assert_array_equal(i1, i2[:32])
+
+
+class TestTopkMinBatched:
+    def test_matches_sort_oracle_rowwise(self, rng):
+        from shadowing_tpu.ops.topk import topk_min_batched, topk_min_sort
+
+        s = rng.normal(size=(3, 5000)).astype(np.float32)
+        vals, idx, ok = topk_min_batched(jnp.asarray(s), 64)
+        assert np.asarray(ok).all()
+        for b in range(3):
+            ref = topk_min_sort(jnp.asarray(s[b]), 64)
+            np.testing.assert_array_equal(np.asarray(vals[b]),
+                                          np.asarray(ref.values))
+            np.testing.assert_array_equal(np.asarray(idx[b]),
+                                          np.asarray(ref.indices))
+
+    def test_small_n_fallback_and_ties(self, rng):
+        from shadowing_tpu.ops.topk import topk_min_batched
+
+        s = np.zeros((2, 300), np.float32)  # all ties: flat-order winners
+        vals, idx, ok = topk_min_batched(jnp.asarray(s), 8)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.tile(np.arange(8), (2, 1)))
