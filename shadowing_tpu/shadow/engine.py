@@ -158,8 +158,6 @@ def _fused_search(
     n_chunks = norms_p.reshape(n_splits, chunk, n_out)
     starts = jnp.arange(n_splits, dtype=jnp.int32) * chunk
 
-    select = jax.vmap(lambda s: topk_ops.topk_min(s, k, block, cap))
-
     def body(carry, inp):
         d_run, i_run, ok_run = carry
         y_c, nrm_c, start = inp
@@ -169,7 +167,9 @@ def _fused_search(
         s = distance.score(x_norm2[:, None, None], cross, nrm_c[None])
         valid = (start + jnp.arange(chunk, dtype=jnp.int32)) < R
         s = jnp.where(valid[None, :, None], s, jnp.inf).reshape(B, -1)
-        vals, idx, ok = select(s)
+        # natively batched: vmap(topk_min) scalarises the block gathers
+        vals, idx, ok = topk_ops.topk_min_batched(s, k, block=block,
+                                                  cap=cap)
         idx = idx + start * n_out
         d_run, i_run = topk_ops.merge_min(d_run, i_run, vals, idx, k)
         return (d_run, i_run, ok_run & ok), None
