@@ -159,6 +159,17 @@ def synthesize_batch(
     m = jnp.zeros_like(z)
     v = jnp.zeros_like(z)
 
+    # Active-set compaction: converged seeds retire and stop costing
+    # gradients; survivors are repacked into <= 4 bucketed shapes (bounded
+    # recompiles). ``rms_full`` records each seed's RMS at retirement (or at
+    # budget exhaustion). The active set and retirement RMS are part of the
+    # checkpoint, so a resumed run continues the exact same schedule (no
+    # re-stepping of already-retired seeds).
+    sizes = _bucket_sizes(batch)
+    active = np.arange(batch)
+    rms_full = np.full(batch, np.inf, np.float32)
+    seed_steps = 0
+
     done = 0
     if checkpoint_path is not None and checkpoint_path.exists():
         ckpt = np.load(checkpoint_path)
@@ -167,18 +178,13 @@ def synthesize_batch(
             m = jnp.asarray(ckpt["m"])
             v = jnp.asarray(ckpt["v"])
             done = int(ckpt["done"])
+            if "active" in ckpt:  # older checkpoints: everyone active
+                active = np.asarray(ckpt["active"])
+                rms_full = np.asarray(ckpt["rms_full"])
             if verbose:
-                print(f"  resumed synthesis from step {done}", flush=True)
-
-    # Active-set compaction: converged seeds retire and stop costing
-    # gradients; survivors are repacked into <= 4 bucketed shapes (bounded
-    # recompiles). ``rms_full`` records each seed's RMS at retirement (or at
-    # budget exhaustion). A resumed run starts with everyone active — the
-    # first segment re-derives the active set.
-    sizes = _bucket_sizes(batch)
-    active = np.arange(batch)
-    rms_full = np.full(batch, np.inf, np.float32)
-    seed_steps = 0
+                print(f"  resumed synthesis from step {done} "
+                      f"({batch - active.size}/{batch} already converged)",
+                      flush=True)
     while done < max_iterations and active.size:
         n = min(segment, max_iterations - done)
         if compact and active.size < batch:
@@ -200,15 +206,15 @@ def synthesize_batch(
             rms_full[:] = np.sqrt(np.asarray(losses))
             seed_steps += batch * n
         done += n
-        if checkpoint_path is not None:
-            tmp = checkpoint_path.with_suffix(".tmp.npz")
-            np.savez(tmp, z=np.asarray(z), m=np.asarray(m), v=np.asarray(v),
-                     done=done)
-            tmp.replace(checkpoint_path)
         if compact:
             active = active[rms_full[active] >= tol]
         else:
             active = np.flatnonzero(rms_full >= tol)
+        if checkpoint_path is not None:
+            tmp = checkpoint_path.with_suffix(".tmp.npz")
+            np.savez(tmp, z=np.asarray(z), m=np.asarray(m), v=np.asarray(v),
+                     done=done, active=active, rms_full=rms_full)
+            tmp.replace(checkpoint_path)
         if verbose:
             print(
                 f"  synthesis step {done:5d}: rms mismatch "

@@ -76,38 +76,12 @@ def topk_min(
     Returns ``ok=False`` (with best-effort values) in the statistically rare
     case the tournament bound cannot certify exactness; callers must then
     fall back to :func:`topk_min_sort`.
+
+    One algorithm, one implementation: this is row 0 of
+    :func:`topk_min_batched` on a singleton batch.
     """
-    n = scores.shape[0]
-    if k > n:
-        raise ValueError(f"k={k} exceeds number of scores n={n}")
-    if n <= 4 * k or n <= 2 * block:
-        return topk_min_sort(scores, k)
-
-    cap = _tournament_cap(n, k, block, cap)
-    n_blocks = -(-n // block)
-    pad = n_blocks * block - n
-    if pad:
-        scores = jnp.concatenate([scores, jnp.full((pad,), jnp.inf, scores.dtype)])
-    blocks = scores.reshape(n_blocks, block)
-
-    bmin = blocks.min(axis=1)                                # (G,)
-    neg_mu, bidx = jax.lax.top_k(-bmin, cap)                 # cap smallest minima
-    # best minimum among *unselected* blocks bounds everything we did not see
-    mu_cap = jnp.where(cap < n_blocks, -neg_mu[-1], jnp.inf)
-    # flat-index order so exact-tie winners match the sort oracle (and are
-    # independent of block-min ordering / chunking)
-    bidx = jnp.sort(bidx)
-
-    cand = blocks[bidx].reshape(-1)                          # (cap*block,)
-    cand_idx = (bidx[:, None] * block
-                + jnp.arange(block, dtype=jnp.int32)[None, :]).reshape(-1)
-    neg_v, local = jax.lax.top_k(-cand, k)
-    values = -neg_v
-    indices = cand_idx[local]
-    # strict inequality: fall back on exact boundary ties so tie-breaking
-    # matches the sort-based path
-    ok = values[-1] < mu_cap if cap < n_blocks else jnp.bool_(True)
-    return TopKResult(values, indices.astype(jnp.int32), jnp.asarray(ok))
+    values, indices, ok = topk_min_batched(scores[None], k, block, cap)
+    return TopKResult(values[0], indices[0], ok[0])
 
 
 class TopKBatchResult(NamedTuple):

@@ -44,22 +44,38 @@ def initialize(
     On a single host (no coordinator configured, no args) this is a no-op,
     so entry points can call it unconditionally. Arguments default to the
     standard env plumbing (``JAX_COORDINATOR_ADDRESS`` etc. / TPU metadata).
-    """
-    import jax
 
-    if jax.process_count() > 1:
-        return  # already initialised
+    CAREFUL inside: ``jax.distributed.initialize`` must run before anything
+    that initialises the XLA backends — even ``jax.process_count()`` does —
+    so the already-initialised check inspects the distributed client state
+    directly instead of touching any backend API.
+    """
+    import os
+
     env_has_coord = bool(
-        coordinator_address
-        or __import__("os").environ.get("JAX_COORDINATOR_ADDRESS")
+        coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     )
     if not env_has_coord and num_processes is None:
-        return  # single-host run: nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        return  # single-host run (TPU pods auto-detect without this call)
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialised
+    except Exception:
+        pass  # private-state probe unavailable: fall through, catch below
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # concurrent/repeated init: keep the existing cluster
+        raise
 
 
 def task_split(

@@ -262,19 +262,19 @@ def sharded_extract(
     t0 = flat_idx % n_out
 
     def local(y_loc):
+        from shadowing_tpu.shadow.engine import _rows_window_slice
+
         ax = jax.lax.axis_index(DATA_AXIS)
         ltraj = traj - ax * r_loc
         mask = (ltraj >= 0) & (ltraj < r_loc)
         lt = jnp.clip(ltraj, 0, r_loc - 1)
-        C, T = y_loc.shape[1], y_loc.shape[2]
+        C = y_loc.shape[1]
         B, k = lt.shape
-        # row gather + vmapped dynamic_slice (see engine._extract_paths:
-        # the two-index window gather scalarises on TPU)
-        rows = y_loc[lt.reshape(-1)]                         # (B*k, C, T)
-        sl = jax.vmap(
-            lambda row, s: jax.lax.dynamic_slice(row, (0, s),
-                                                 (C, w_extract))
-        )(rows, t0.reshape(-1))
+        # row gather + vmapped dynamic_slice, memory-budget chunked (see
+        # engine._rows_window_slice: the two-index window gather
+        # scalarises on TPU; the row buffer is bounded per device)
+        sl = _rows_window_slice(y_loc, lt.reshape(-1), t0.reshape(-1),
+                                w_extract)
         paths = sl.reshape(B, k, C, w_extract)
         paths = jnp.where(mask[..., None, None], paths, 0.0)
         return jax.lax.psum(paths, DATA_AXIS)

@@ -31,6 +31,7 @@ parity testing; ``method="fused"`` is the production path; the default
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 from pathlib import Path
 from typing import Callable, Optional, Tuple, Union
@@ -52,10 +53,13 @@ from shadowing_tpu.stats.proba import DiscreteProba, Softmax, Uniform
 _DN = ("NCH", "OIH", "NCH")
 
 
+@functools.lru_cache(maxsize=1)
 def _memory_budget() -> int:
     """Byte budget for intermediate score/embedding tensors: a quarter of
     the backend device's memory when it reports one (leaving room for the
-    dataset, norms and XLA workspace), else a 4 GB fallback."""
+    dataset, norms and XLA workspace), else a 4 GB fallback. Cached: the
+    ``memory_stats()`` query is a device RPC (~ms through remote runtimes)
+    and this sits on the per-call hot path."""
     try:
         stats = jax.devices()[0].memory_stats()
         limit = (stats or {}).get("bytes_limit")
@@ -253,17 +257,50 @@ def _extract_paths(
     traj = flat_idx // n_out
     t0 = flat_idx % n_out
     B, k = flat_idx.shape
-    # whole-ROW gather (contiguous last dim, DMA-friendly), then a vmapped
-    # dynamic_slice per winner — bit-exact and ~4.5x faster than the
-    # two-index window gather, which scalarises on TPU (87 ms -> 19 ms
-    # device time at B*k = 10^4, w = 378)
-    rows = y[traj.reshape(-1)]                                 # (B*k, C, T)
-    sl = jax.vmap(
-        lambda row, s: jax.lax.dynamic_slice(row, (0, s), (C, w_extract))
-    )(rows, t0.reshape(-1))
-    paths = sl.reshape(B, k, C, w_extract)
+    paths = _rows_window_slice(y, traj.reshape(-1),
+                               t0.reshape(-1), w_extract)
+    paths = paths.reshape(B, k, C, w_extract)
     idces = jnp.stack([traj, t0], axis=-1).astype(jnp.int32)
     return paths, idces
+
+
+def _rows_window_slice(
+    y: jax.Array,        # (R, C, T)
+    traj: jax.Array,     # (N,) winner trajectory per output row
+    t0: jax.Array,       # (N,) window start per output row
+    w_extract: int,
+) -> jax.Array:          # (N, C, w_extract)
+    """Window extraction: whole-ROW gather (contiguous last dim,
+    DMA-friendly) + a vmapped ``dynamic_slice`` per winner — bit-exact and
+    ~4.5x faster than the two-index window gather, which scalarises on TPU
+    (87 -> 19 ms device time at N = 10^4, w = 378).
+
+    The (N, C, T) row buffer is T/w times larger than the windows, so
+    winners stream in chunks sized against the device memory budget (a
+    B=64 x k=10^4 extraction would otherwise materialise ~10 GB)."""
+    R, C, T = y.shape
+    n = traj.shape[0]
+
+    def take(tr, ss):
+        rows = y[tr]                                           # (m, C, T)
+        return jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (0, s), (C, w_extract))
+        )(rows, ss)
+
+    if n * C * T * 4 <= _memory_budget():
+        return take(traj, t0)
+    n_chunks = -(-(n * C * T * 4) // _memory_budget())
+    chunk = -(-n // n_chunks)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    traj = jnp.pad(traj, (0, pad))
+    t0 = jnp.pad(t0, (0, pad))
+    _, out = jax.lax.scan(
+        lambda _, inp: (None, take(*inp)),
+        None,
+        (traj.reshape(n_chunks, chunk), t0.reshape(n_chunks, chunk)),
+    )
+    return out.reshape(-1, C, w_extract)[:n]
 
 
 @partial(jax.jit, static_argnames=("distance",))
@@ -328,10 +365,9 @@ def _smile_inputs(dists, out_paths, eta: float, x_init: float):
         [jnp.zeros((B, k, 1)), jnp.cumsum(fut, axis=-1)], axis=-1
     )
     prices = jnp.exp(lnx) * x_init
-    z = -0.5 * (dists / eta) ** 2
-    z = z - z.max(axis=1, keepdims=True)
-    w = jnp.exp(z)
-    return prices, w / w.sum(axis=1, keepdims=True)
+    # the one Gaussian-kernel weight definition lives in stats.proba
+    w = Softmax(dists, eta).weights_like(fut[..., 0], axis=1)
+    return prices, w
 
 
 # --------------------------------------------------------------------------
@@ -624,15 +660,16 @@ class PathShadowing:
         n_splits = max(1, min(n_splits, (self.R * n_out) // k))
 
         y = self.y
-        rows_per_device = (
-            y.shape[0] // self.mesh.shape["data"] if self.mesh is not None
-            else y.shape[0]
-        )
-        if rows_per_device * y.shape[2] >= np.iinfo(np.int32).max:
-            # path extraction flattens to traj * T + t in int32, per device
+        # flat candidate ids (traj * n_out + t) are GLOBAL int32 in both
+        # single-device and mesh mode (the mesh k-merge and extraction use
+        # global ids — sharding does NOT raise this ceiling), so the whole
+        # candidate count must fit int32
+        if y.shape[0] * n_out >= np.iinfo(np.int32).max:
             raise ValueError(
-                "rows-per-device * T exceeds int32 — shard the dataset over "
-                "a (larger) mesh (PathShadowing(..., mesh=...))"
+                f"R * n_out = {y.shape[0]} * {n_out} exceeds int32 flat "
+                "indexing — search the dataset in pieces (e.g. split the "
+                "trajectories over several PathShadowing engines and merge "
+                "the top-k with shadowing_tpu.ops.topk.merge_min)"
             )
         kernel_dev = jnp.asarray(kernel)
         # context embedding needs the *unadjusted* kernel (its width equals

@@ -207,6 +207,54 @@ class TestSynthesis:
             np.asarray(mc)[frozen], np.asarray(m0)[frozen]
         )
 
+    def test_resume_reproduces_uninterrupted_run(self, rng, tmp_path):
+        """An interrupted + resumed synthesis must return bit-identical
+        series to the uninterrupted run — including the compaction
+        schedule (retired seeds stay retired across the restart)."""
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(32, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+        kw = dict(target=target, bank=bank, batch=8, tol=0.02, segment=40,
+                  max_iterations=200)
+
+        z_ref, rms_ref = synthesize_batch(jax.random.PRNGKey(5), **kw)
+
+        # interrupt after two segments (checkpoint survives), then resume
+        ck = tmp_path / "state.ckpt.npz"
+
+        class Stop(Exception):
+            pass
+
+        calls = {"n": 0}
+        import shadowing_tpu.models.scattering.synthesis as syn
+        orig_full = syn._optimize_segment
+        orig_comp = syn._optimize_segment_compact
+
+        def make_wrapped(orig):
+            def wrapped(*a, **k2):
+                if calls["n"] == 1:
+                    raise Stop()
+                calls["n"] += 1
+                return orig(*a, **k2)
+            return wrapped
+
+        syn._optimize_segment = make_wrapped(orig_full)
+        syn._optimize_segment_compact = make_wrapped(orig_comp)
+        try:
+            with pytest.raises(Stop):
+                synthesize_batch(jax.random.PRNGKey(5), **kw,
+                                 checkpoint_path=ck)
+        finally:
+            syn._optimize_segment = orig_full
+            syn._optimize_segment_compact = orig_comp
+        assert ck.exists()
+        z_res, rms_res = synthesize_batch(jax.random.PRNGKey(5), **kw,
+                                          checkpoint_path=ck)
+        np.testing.assert_array_equal(z_res, z_ref)
+        np.testing.assert_array_equal(rms_res, rms_ref)
+
     def test_bucket_sizes(self):
         from shadowing_tpu.models.scattering.synthesis import (
             _bucket,
