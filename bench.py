@@ -205,9 +205,9 @@ def bench_generation():
         f"seed-steps paid={wl['seed_steps']}")
 
     dt_nc, _, wl_nc = run(2, compact=False)
-    log(f"[gen] no-compaction (round-1 schedule, same seed): {dt_nc:.1f}s "
-        f"({wl_nc['seed_steps']} seed-steps) -> compaction speedup "
-        f"{dt_nc / t_warm:.2f}x")
+    log(f"[gen] no-compaction (full-batch-until-all-converged, same seed "
+        f"and lr schedule): {dt_nc:.1f}s ({wl_nc['seed_steps']} seed-steps)"
+        f" -> compaction speedup {dt_nc / t_warm:.2f}x")
 
     # host-CPU baseline: measured per-seed-step cost, scaled to the same
     # seed-step workload the TPU run paid (CPU FFT cost is batch-linear;
