@@ -71,6 +71,7 @@ def generate(
     seed: int = 0,
     batch: int = 256,
     lr=None,
+    mesh=None,
 ) -> np.ndarray:
     """Generate ``R`` synthetic log-return trajectories calibrated to ``x``.
 
@@ -86,6 +87,9 @@ def generate(
     :param seed: base PRNG seed; shard ``i`` uses ``fold_in(seed, i)`` so
         job-array tasks (reference ``-ntot``/``-tid``) produce disjoint,
         reproducible streams
+    :param mesh: synthesise data-parallel over a device mesh (an int device
+        count or a ``Mesh`` with a ``"data"`` axis); seeds shard over
+        devices, results identical to ``mesh=None``
     :return: ``(R, 1, T)`` float32 log-returns
     """
     del cuda
@@ -136,7 +140,7 @@ def generate(
             z, rms = synthesize_batch(
                 key, target, bank_gen, batch=batch,
                 max_iterations=max_iterations, tol=tol_optim, lr=lr,
-                verbose=verbose, checkpoint_path=ckpt,
+                verbose=verbose, checkpoint_path=ckpt, mesh=mesh,
             )
             if shard_file is not None:
                 np.save(shard_file, z)

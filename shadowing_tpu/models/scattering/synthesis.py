@@ -125,11 +125,18 @@ def _optimize_segment_compact(
     )
 
 
-def _bucket_sizes(batch: int) -> list:
-    """Descending batch buckets: [batch, ~b/2, ~b/4, ~b/8] (<= 4 shapes)."""
-    sizes = [batch]
-    while sizes[-1] > 1 and len(sizes) < 4:
-        sizes.append(-(-sizes[-1] // 2))
+def _bucket_sizes(batch: int, quantum: int = 1) -> list:
+    """Descending batch buckets: [batch, ~b/2, ~b/4, ~b/8] (<= 4 shapes),
+    each rounded up to a multiple of ``quantum`` (the mesh size, so every
+    bucketed gather keeps an even per-device row count)."""
+    q = max(1, quantum)
+    rnd = lambda n: -(-n // q) * q
+    sizes = [rnd(batch)]
+    while sizes[-1] > q and len(sizes) < 4:
+        nxt = rnd(-(-sizes[-1] // 2))
+        if nxt == sizes[-1]:
+            break
+        sizes.append(nxt)
     return sizes
 
 
@@ -154,6 +161,7 @@ def synthesize_batch(
     checkpoint_path=None,
     compact: bool = True,
     work_log: dict = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesise ``batch`` series matching ``target`` statistics.
 
@@ -171,12 +179,36 @@ def synthesize_batch(
     :param lr: ``None`` (default) uses the measured-best cosine schedule
         0.06 -> 0.005 over ``max_iterations``; a float keeps a constant
         rate (round-1 behavior: 0.03).
+    :param mesh: data-parallel synthesis over a device mesh (an int device
+        count or a ``jax.sharding.Mesh`` with a ``"data"`` axis). Seeds are
+        an ideal dp workload — per-seed independent losses, zero cross-seed
+        collectives — so the batch axis of the SAME jitted segments is
+        sharded and GSPMD partitions every step; compaction keeps working
+        (buckets are rounded to mesh multiples so gathers stay balanced).
+        Results are identical to ``mesh=None`` for any mesh size (tested).
     """
     if lr is None:
         lr = ("cos", 0.06, 0.005, max_iterations)
     T = bank.T
     psi = jnp.asarray(bank.psi_hat)
+    quantum = 1
+    sharding = None
+    if mesh is not None:
+        from shadowing_tpu.parallel.sharding import DATA_AXIS, data_mesh
+
+        if not hasattr(mesh, "shape"):
+            mesh = data_mesh(int(mesh))
+        quantum = mesh.shape[DATA_AXIS]
+        if batch % quantum:
+            raise ValueError(
+                f"batch {batch} must be a multiple of the mesh size {quantum}"
+            )
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(DATA_AXIS, None)
+        )
     z = jax.random.normal(key, (batch, T), jnp.float32)
+    if sharding is not None:
+        z = jax.device_put(z, sharding)
     m = jnp.zeros_like(z)
     v = jnp.zeros_like(z)
 
@@ -186,7 +218,7 @@ def synthesize_batch(
     # budget exhaustion). The active set and retirement RMS are part of the
     # checkpoint, so a resumed run continues the exact same schedule (no
     # re-stepping of already-retired seeds).
-    sizes = _bucket_sizes(batch)
+    sizes = _bucket_sizes(batch, quantum)
     active = np.arange(batch)
     rms_full = np.full(batch, np.inf, np.float32)
     seed_steps = 0
@@ -195,9 +227,13 @@ def synthesize_batch(
     if checkpoint_path is not None and checkpoint_path.exists():
         ckpt = np.load(checkpoint_path)
         if ckpt["z"].shape == (batch, T) and int(ckpt["done"]) <= max_iterations:
-            z = jnp.asarray(ckpt["z"])
-            m = jnp.asarray(ckpt["m"])
-            v = jnp.asarray(ckpt["v"])
+            put = (
+                (lambda a: jax.device_put(jnp.asarray(a), sharding))
+                if sharding is not None else jnp.asarray
+            )
+            z = put(ckpt["z"])
+            m = put(ckpt["m"])
+            v = put(ckpt["v"])
             done = int(ckpt["done"])
             if "active" in ckpt:  # older checkpoints: everyone active
                 active = np.asarray(ckpt["active"])

@@ -29,6 +29,7 @@ assembled in registers across the static unroll and stored once.)
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -48,9 +49,31 @@ MAX_WIDTH = (_MAX_SEG_BLOCKS - 1) * L + 1   # widest supported filter (385)
 _VMEM_TILE = 3 << 19
 
 
+def force_interpret() -> bool:
+    """Run the kernel in Pallas interpret mode (env override,
+    ``SHADOWING_TPU_PALLAS_INTERPRET=1``) — lets non-TPU backends (the CPU
+    test mesh, the driver dry-run) execute the exact pallas code path."""
+    return os.environ.get("SHADOWING_TPU_PALLAS_INTERPRET", "0") not in ("", "0")
+
+
 def _seg_blocks(w: int) -> int:
     """L-blocks a segment spans: ``L`` outputs need ``L + w - 1`` samples."""
     return -(-(L + w - 1) // L)
+
+
+def padded_id_space(R: int, C: int, n_out: int, w: int) -> int:
+    """Size of pass-2's *padded* flat id space ``Rp * nblk * L``.
+
+    Pass-2 flat ids live in the padded (row, block, lane) space, which
+    exceeds the engine's true candidate space ``R * n_out`` by row padding
+    and the last partial block; callers must keep it below int32
+    (``two_pass_search_padded`` enforces this, the engine's ``_pallas_ok``
+    falls back to the scan path instead of erroring)."""
+    nblk = -(-n_out // L)
+    m = _seg_blocks(w)
+    tr = _rows_per_tile(C * (nblk + m - 1) * L)
+    rp = -(-R // tr) * tr
+    return rp * nblk * L
 
 
 def _rows_per_tile(t_cols: int) -> int:
@@ -194,6 +217,12 @@ def two_pass_search_padded(
     m = _seg_blocks(w)
     Rp, _, cols = y3.shape
     nblk = n2.shape[1] // L
+    if Rp * nblk * L >= jnp.iinfo(jnp.int32).max:
+        raise ValueError(
+            f"padded flat id space Rp * nblk * L = {Rp} * {nblk} * {L} "
+            "exceeds int32 — split the trajectory axis (see "
+            "shadowing_tpu.shadow.engine.shadow_sharded_rows)"
+        )
 
     # ---- pass 1: fused score + block minima (Pallas) -------------------
     bmin = score_blockmin(y3.reshape(Rp, C * cols), n2, g,

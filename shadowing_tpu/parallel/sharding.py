@@ -118,10 +118,22 @@ def sharded_window_norms(
     )(y)
 
 
+def _ici_topk_merge(vals, idx, k):
+    """Gather every device's (B, k_loc) candidates over ICI and take the
+    exact global k-smallest (payload O(B * k * devices), independent of R)."""
+    vals_all = jax.lax.all_gather(vals, DATA_AXIS)       # (n_dev, B, k_loc)
+    idx_all = jax.lax.all_gather(idx, DATA_AXIS)
+    B = vals.shape[0]
+    vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(B, -1)
+    idx_all = jnp.moveaxis(idx_all, 0, 1).reshape(B, -1)
+    neg, sel = jax.lax.top_k(-vals_all, k)
+    return -neg, jnp.take_along_axis(idx_all, sel, axis=-1)
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "n_out", "n_splits", "distance", "mesh", "block",
-                     "cap", "local_method"),
+                     "cap", "local_method", "interpret"),
 )
 def sharded_fused_search(
     y: jax.Array,          # (R_pad, C, T), R sharded over mesh
@@ -136,6 +148,7 @@ def sharded_fused_search(
     block: int = 128,
     cap: Optional[int] = None,
     local_method: str = "fused",
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Mesh-sharded fused shadow search on the single-chip fast kernels.
 
@@ -166,7 +179,8 @@ def sharded_fused_search(
         ax = jax.lax.axis_index(DATA_AXIS)
         if local_method == "pallas":
             vals, idx, ok = pallas_search.two_pass_search(
-                y_loc, n_loc, g, k=k_loc, n_out=n_out, cap=cap
+                y_loc, n_loc, g, k=k_loc, n_out=n_out, cap=cap,
+                interpret=interpret,
             )
         else:
             vals, idx, ok = _fused_search(
@@ -174,17 +188,9 @@ def sharded_fused_search(
                 n_splits=ns, distance=distance, block=block, cap=cap,
             )
         idx = idx + ax.astype(jnp.int32) * (r_loc * n_out)
-
-        # ride ICI: gather every device's candidates, merge exactly
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS)   # (n_dev, B, k_loc)
-        idx_all = jax.lax.all_gather(idx, DATA_AXIS)
-        B = vals.shape[0]
-        vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(B, -1)
-        idx_all = jnp.moveaxis(idx_all, 0, 1).reshape(B, -1)
-        neg, sel = jax.lax.top_k(-vals_all, k)
-        merged_i = jnp.take_along_axis(idx_all, sel, axis=-1)
+        merged_v, merged_i = _ici_topk_merge(vals, idx, k)
         ok_all = jax.lax.all_gather(ok, DATA_AXIS).all(axis=0)
-        return -neg, merged_i, ok_all
+        return merged_v, merged_i, ok_all
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -192,6 +198,74 @@ def sharded_fused_search(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(y, norms)
+
+
+@partial(jax.jit, static_argnames=("n_out", "w", "mesh"))
+def sharded_pad_views(
+    y: jax.Array,          # (R_pad, C, T), R sharded over mesh
+    norms: jax.Array,      # (R_pad, n_out), R sharded, +inf on padded rows
+    n_out: int,
+    w: int,
+    mesh: Mesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-device Pallas pad views, built ONCE per (dataset, plan) — the mesh
+    twin of the single-device engine's ``_padded`` cache (the padding copies
+    cost ~2 full-array passes per call otherwise)."""
+    from shadowing_tpu.ops.pallas_search import _pad_views
+
+    return jax.shard_map(
+        lambda y_loc, n_loc: _pad_views(y_loc, n_loc, n_out, w),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )(y, norms)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "n_out", "r_loc", "mesh", "cap", "interpret"),
+)
+def sharded_pallas_search_padded(
+    y3: jax.Array,         # (Rp, C, cols) from sharded_pad_views, sharded
+    n2: jax.Array,         # (Rp, nblk * L) from sharded_pad_views, sharded
+    g: jax.Array,          # (B, C, w) combined filters, replicated
+    k: int,
+    n_out: int,
+    r_loc: int,            # UNPADDED per-device row count (global ids)
+    mesh: Mesh,
+    cap: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Mesh-sharded fused two-pass Pallas search on cached pad views — the
+    default TPU mesh route (``PathShadowing(mesh=...)`` + ``method="auto"``).
+
+    Per device: :func:`shadowing_tpu.ops.pallas_search.two_pass_search_padded`
+    on its local shard; then the same ICI all_gather k-merge as the fused
+    path. Row padding inside the views carries +inf norms, so padded rows
+    never win and local winner ids stay below ``r_loc * n_out``.
+    """
+    from shadowing_tpu.ops import pallas_search
+
+    k_loc = min(k, r_loc * n_out)
+
+    def local(y3_loc, n2_loc):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        vals, idx, ok = pallas_search.two_pass_search_padded(
+            y3_loc, n2_loc, g, k=k_loc, n_out=n_out, cap=cap,
+            interpret=interpret,
+        )
+        idx = idx + ax.astype(jnp.int32) * (r_loc * n_out)
+        merged_v, merged_i = _ici_topk_merge(vals, idx, k)
+        ok_all = jax.lax.all_gather(ok, DATA_AXIS).all(axis=0)
+        return merged_v, merged_i, ok_all
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(y3, n2)
 
 
 @partial(
@@ -226,13 +300,7 @@ def sharded_direct_search(
             distance=distance, n_valid_rows=r_valid,
         )
         idx = idx + ax.astype(jnp.int32) * (r_loc * n_out)
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS)
-        idx_all = jax.lax.all_gather(idx, DATA_AXIS)
-        B = vals.shape[0]
-        vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(B, -1)
-        idx_all = jnp.moveaxis(idx_all, 0, 1).reshape(B, -1)
-        neg, sel = jax.lax.top_k(-vals_all, k)
-        return -neg, jnp.take_along_axis(idx_all, sel, axis=-1)
+        return _ici_topk_merge(vals, idx, k)
 
     return jax.shard_map(
         local, mesh=mesh,

@@ -51,6 +51,9 @@ from shadowing_tpu.shadow.embedding import PathEmbedding
 from shadowing_tpu.stats.proba import DiscreteProba, Softmax, Uniform
 
 _DN = ("NCH", "OIH", "NCH")
+#: flat (traj * n_out + t) candidate ids must fit int32 (monkeypatchable in
+#: tests to exercise the overflow escape hatch without 2^31 candidates)
+_INT32_LIMIT = np.iinfo(np.int32).max
 
 
 @functools.lru_cache(maxsize=1)
@@ -484,17 +487,32 @@ class PathShadowing:
         total = R * per_row
         return max(1, -(-total // _memory_budget()))
 
-    def _pallas_ok(self, kernel: np.ndarray) -> bool:
-        """Whether the fused Pallas two-pass search applies: TPU backend, a
-        filter no wider than the kernel's multi-block Toeplitz limit, and a
-        distance whose selection score has the ``norm2 - 2 cross`` form
-        hard-wired into the kernel (any channel count, any k)."""
-        return (
-            jax.default_backend() == "tpu"
+    def _pallas_ok(self, kernel: np.ndarray, n_out: int) -> bool:
+        """Whether the fused Pallas two-pass search applies: TPU backend (or
+        forced interpret mode for tests/dry-runs), a filter no wider than the
+        kernel's multi-block Toeplitz limit, a distance whose selection score
+        has the ``norm2 - 2 cross`` form hard-wired into the kernel (any
+        channel count, any k), and a pass-2 *padded* id space that fits int32
+        (it exceeds ``R * n_out`` by row/block padding — fall back to the
+        scan path near the boundary instead of wrapping ids)."""
+        if not (
+            (jax.default_backend() == "tpu" or pallas_search.force_interpret())
             and self.distance.supports_expansion
             and kernel.shape[-1] <= pallas_search.MAX_WIDTH
             and self.distance.pallas_score_form
-        )
+        ):
+            return False
+        R = self.y.shape[0]
+        if self.mesh is not None:
+            R = R // self.mesh.shape["data"]
+        return pallas_search.padded_id_space(
+            R, kernel.shape[1], n_out, kernel.shape[-1]
+        ) < np.iinfo(np.int32).max
+
+    @staticmethod
+    def _pallas_interpret() -> bool:
+        """Interpret mode whenever the backend isn't a real TPU."""
+        return jax.default_backend() != "tpu"
 
     def window_norms(self, n_splits: Optional[int] = None) -> jax.Array:
         """``‖h(y_t)‖²`` for every window — cached per engine instance.
@@ -523,10 +541,16 @@ class PathShadowing:
                     mesh=self.mesh,
                 )
             else:
-                self._norms = _window_norms(
+                norms = _window_norms(
                     self.y, jnp.asarray(kernel), n_out=n_out,
                     n_splits=n_splits, identity_fast=diag,
                 )
+                if self.R < self.y.shape[0]:
+                    # explicit n_trajectories below the stored row count:
+                    # +inf norms bar the excess rows from every fused/pallas
+                    # selection (the direct oracle masks via n_valid_rows)
+                    norms = norms.at[self.R:].set(jnp.inf)
+                self._norms = norms
         return self._norms
 
     # -- search ------------------------------------------------------------
@@ -643,14 +667,16 @@ class PathShadowing:
             )
         if method == "auto":
             if self.distance.supports_expansion:
-                method = "pallas" if self._pallas_ok(kernel) else "fused"
+                method = "pallas" if self._pallas_ok(kernel, n_out) else "fused"
             else:
                 method = "direct"
-        if method == "pallas" and not self._pallas_ok(kernel):
+        if method == "pallas" and not self._pallas_ok(kernel, n_out):
             raise ValueError(
-                "pallas search requires a TPU backend, an expansion "
-                f"distance with the norm2-2*cross score form, and filter "
-                f"width <= {pallas_search.MAX_WIDTH}"
+                "pallas search requires a TPU backend (or "
+                "SHADOWING_TPU_PALLAS_INTERPRET=1), an expansion distance "
+                "with the norm2-2*cross score form, filter width <= "
+                f"{pallas_search.MAX_WIDTH}, and a padded id space below "
+                "int32"
             )
         if n_splits is None:
             n_splits = self._auto_splits(B, n_out, d, method)
@@ -664,12 +690,12 @@ class PathShadowing:
         # single-device and mesh mode (the mesh k-merge and extraction use
         # global ids — sharding does NOT raise this ceiling), so the whole
         # candidate count must fit int32
-        if y.shape[0] * n_out >= np.iinfo(np.int32).max:
+        if y.shape[0] * n_out >= _INT32_LIMIT:
             raise ValueError(
                 f"R * n_out = {y.shape[0]} * {n_out} exceeds int32 flat "
-                "indexing — search the dataset in pieces (e.g. split the "
-                "trajectories over several PathShadowing engines and merge "
-                "the top-k with shadowing_tpu.ops.topk.merge_min)"
+                "indexing — split the trajectory axis over several "
+                "PathShadowing engines and search them as one dataset with "
+                "shadowing_tpu.shadow.engine.shadow_sharded_rows"
             )
         kernel_dev = jnp.asarray(kernel)
         # context embedding needs the *unadjusted* kernel (its width equals
@@ -702,6 +728,7 @@ class PathShadowing:
                 y3, n2 = self._padded
                 _, flat_idx, ok = pallas_search.two_pass_search_padded(
                     y3, n2, g, k=k, n_out=n_out, cap=tournament_cap,
+                    interpret=self._pallas_interpret(),
                 )
             else:
                 _, flat_idx, ok = _fused_search(
@@ -710,9 +737,13 @@ class PathShadowing:
                     cap=tournament_cap,
                 )
         elif method == "direct":
+            # mask explicit-n_trajectories excess rows (the fused/pallas
+            # paths bar them via +inf window norms instead)
+            nvr = (jnp.asarray(self.R, jnp.int32)
+                   if self.R < y.shape[0] else None)
             _, flat_idx = _direct_search(
                 y, x_emb, kernel_dev, k=k, n_out=n_out, n_splits=n_splits,
-                distance=self.distance,
+                distance=self.distance, n_valid_rows=nvr,
             )
             ok = jnp.ones((x_context.shape[0],), jnp.bool_)
         else:
@@ -737,6 +768,8 @@ class PathShadowing:
                 # row, far more than the fused chunks were sized for
                 n_splits=self._auto_splits(len(rows), n_out, d, "direct"),
                 distance=self.distance,
+                n_valid_rows=(jnp.asarray(self.R, jnp.int32)
+                              if self.R < y.shape[0] else None),
             )
             fi = np.array(flat_idx)  # writable host copy
             fi[rows] = np.asarray(idx_exact)
@@ -769,12 +802,27 @@ class PathShadowing:
                 else jnp.einsum("bd,dcw->bcw", x_emb, kernel_dev,
                                 precision=PRECISION_SELECT)
             )
-            _, flat_idx, ok = psh.sharded_fused_search(
-                y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
-                distance=self.distance, mesh=self.mesh, n_splits=n_splits,
-                cap=tournament_cap,
-                local_method="pallas" if method == "pallas" else "fused",
-            )
+            if method == "pallas":
+                if self._padded is None:
+                    # per-device pad views, cached like the single-device
+                    # engine's (same ~2-pass padding cost per call otherwise)
+                    self._padded = psh.sharded_pad_views(
+                        y, self.window_norms(), n_out=n_out,
+                        w=kernel.shape[-1], mesh=self.mesh,
+                    )
+                y3, n2 = self._padded
+                _, flat_idx, ok = psh.sharded_pallas_search_padded(
+                    y3, n2, g, k=k, n_out=n_out,
+                    r_loc=y.shape[0] // self.mesh.shape["data"],
+                    mesh=self.mesh, cap=tournament_cap,
+                    interpret=self._pallas_interpret(),
+                )
+            else:
+                _, flat_idx, ok = psh.sharded_fused_search(
+                    y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
+                    distance=self.distance, mesh=self.mesh,
+                    n_splits=n_splits, cap=tournament_cap,
+                )
         elif method == "direct":
             _, flat_idx = psh.sharded_direct_search(
                 y, x_emb, kernel_dev, k=k, n_out=n_out,
@@ -968,27 +1016,82 @@ class PathShadowing:
                 [x_context, np.repeat(x_context[-1:], pad, axis=0)]
             )
 
-        preds, stds = [], []
+        aggregate = partial(
+            _aggregate_predictions, to_predict=to_predict,
+            proba_name=proba_name, eta=eta if eta is None else float(eta),
+            select_out=self.context.select_out_context,
+        )
+        # pipeline the chunks: submit EVERY chunk's search + aggregation
+        # before fetching anything. Only the tiny per-chunk aggregates (and
+        # the redo closure's flat winner ids) stay referenced, so the big
+        # intermediates free as the queue drains; the host sync round trip
+        # (~26 ms through remote tunnels) is paid once, not per chunk.
+        pending = []
         for s in range(0, x_context.shape[0], chunk):
             d, p, _, ok, redo = self._submit_shadow(
                 x_context[s : s + chunk], k, n_dataset_splits, method
             )
-            # aggregation is submitted behind the search; the certification
-            # flag then rides the result fetch (no standalone sync)
-            a, b = _aggregate_predictions(
-                d, p, to_predict=to_predict, proba_name=proba_name,
-                eta=eta if eta is None else float(eta),
-                select_out=self.context.select_out_context,
-            )
-            a_h, b_h, ok_h = jax.device_get((a, b, ok))
+            pending.append((*aggregate(d, p), ok, redo))
+            del d, p
+        fetched = jax.device_get([t[:3] for t in pending])
+        preds, stds = [], []
+        for (a_h, b_h, ok_h), (_, _, _, redo) in zip(fetched, pending):
             if not ok_h.all():  # rare: redo with the sort-exact oracle
                 d, p, _ = redo(ok_h)
-                a, b = _aggregate_predictions(
-                    d, p, to_predict=to_predict, proba_name=proba_name,
-                    eta=eta if eta is None else float(eta),
-                    select_out=self.context.select_out_context,
-                )
-                a_h, b_h = jax.device_get((a, b))
+                a_h, b_h = jax.device_get(aggregate(d, p))
             preds.append(np.asarray(a_h))
             stds.append(np.asarray(b_h))
         return np.concatenate(preds)[:B], np.concatenate(stds)[:B]
+
+
+# --------------------------------------------------------------------------
+# int32 escape hatch: search several row-slice engines as one dataset
+# --------------------------------------------------------------------------
+
+def shadow_sharded_rows(
+    engines,
+    x_context: Array,
+    k: int = 1,
+    n_splits: Optional[int] = None,
+    method: str = "auto",
+    exact_dtype: str = "float32",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:meth:`PathShadowing.shadow` over several engines holding row-slices
+    of one dataset — the escape hatch for candidate spaces whose flat ids
+    ``R * n_out`` overflow int32 (the limit each single engine enforces).
+
+    Split the trajectory axis into consecutive slices, build one engine per
+    slice (same embedding/distance/context), and call this instead of
+    ``shadow``: per-engine exact top-k results are merged into the global
+    k-smallest — exact by the same streaming-merge property as ``n_splits``
+    chunking (reference ``testing.ipynb`` cell 1) — and winner trajectory
+    indices are offset back into the full dataset's row numbering.
+
+    :param engines: engines over consecutive row-slices, in dataset order
+    :return: same contract as :meth:`PathShadowing.shadow`
+    """
+    if not engines:
+        raise ValueError("shadow_sharded_rows needs at least one engine")
+    outs = []
+    offset = total = 0
+    for eng in engines:
+        _, n_out = eng._plan()
+        k_loc = min(k, eng.R * n_out)  # at most k winners come from any slice
+        d, p, i = eng.shadow(x_context, k=k_loc, n_splits=n_splits,
+                             method=method, exact_dtype=exact_dtype)
+        i = np.asarray(i).copy()
+        i[..., 0] += offset
+        offset += eng.R
+        total += eng.R * n_out
+        outs.append((np.asarray(d), np.asarray(p), i))
+    if k > total:
+        raise ValueError(f"k={k} exceeds the {total} total candidates")
+    d = np.concatenate([o[0] for o in outs], axis=1)
+    p = np.concatenate([o[1] for o in outs], axis=1)
+    i = np.concatenate([o[2] for o in outs], axis=1)
+    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return (
+        np.take_along_axis(d, order, axis=1),
+        np.take_along_axis(p, order[..., None, None], axis=1),
+        np.take_along_axis(i, order[..., None], axis=1),
+    )

@@ -412,3 +412,69 @@ class TestPredictPadding:
         assert a3.shape == (7, 2)
         np.testing.assert_allclose(a3, a1, rtol=1e-6)
         np.testing.assert_allclose(s3, s1, rtol=1e-5, atol=1e-8)
+
+
+class TestNTrajectoriesSingleDevice:
+    """Explicit n_trajectories below the stored row count must exclude the
+    excess rows on every single-device method (not only on the mesh)."""
+
+    def test_excess_rows_never_win(self, rng):
+        dataset = rng.normal(0, 0.02, size=(64, 1, 128)).astype(np.float32)
+        # contexts copied verbatim from EXCLUDED rows: they would win with
+        # distance ~0 if the row mask leaked
+        ctx = dataset[50:52, :, 10:26].copy()
+        obj = PathShadowing(Identity(16), RelativeMSE(), dataset,
+                            PredictionContext(horizon=8), n_trajectories=40)
+        ref = PathShadowing(Identity(16), RelativeMSE(), dataset[:40],
+                            PredictionContext(horizon=8))
+        for method in ("fused", "direct"):
+            d, p, i = obj.shadow(ctx, k=8, method=method)
+            assert (i[..., 0] < 40).all()
+            d0, p0, i0 = ref.shadow(ctx, k=8, method=method)
+            np.testing.assert_array_equal(i, i0)
+            np.testing.assert_array_equal(d, d0)
+            np.testing.assert_array_equal(p, p0)
+
+
+class TestShadowShardedRows:
+    """Int32-overflow escape hatch: several row-slice engines searched as
+    one dataset."""
+
+    def test_matches_single_engine(self, rng):
+        from shadowing_tpu.shadow.engine import shadow_sharded_rows
+
+        dataset = rng.normal(0, 0.02, size=(60, 1, 128)).astype(np.float32)
+        ctx = rng.normal(0, 0.02, size=(2, 1, 16)).astype(np.float32)
+        mk = lambda ds: PathShadowing(Identity(16), RelativeMSE(), ds,
+                                      PredictionContext(horizon=8))
+        d0, p0, i0 = mk(dataset).shadow(ctx, k=20)
+        d, p, i = shadow_sharded_rows(
+            [mk(dataset[:25]), mk(dataset[25:40]), mk(dataset[40:])],
+            ctx, k=20,
+        )
+        np.testing.assert_array_equal(i, i0)
+        np.testing.assert_array_equal(d, d0)
+        np.testing.assert_array_equal(p, p0)
+
+    def test_overflow_error_names_a_working_helper(self, rng, monkeypatch):
+        """At the (mocked) int32 boundary the engine's error points at
+        shadow_sharded_rows, and following that advice works."""
+        import shadowing_tpu.shadow.engine as eng_mod
+
+        dataset = rng.normal(0, 0.02, size=(60, 1, 128)).astype(np.float32)
+        ctx = rng.normal(0, 0.02, size=(1, 1, 16)).astype(np.float32)
+        mk = lambda ds: PathShadowing(Identity(16), RelativeMSE(), ds,
+                                      PredictionContext(horizon=8))
+        n_out = mk(dataset)._plan()[1]
+        # 60 rows overflow the mocked limit; 30-row slices do not
+        monkeypatch.setattr(eng_mod, "_INT32_LIMIT", 40 * n_out)
+        with pytest.raises(ValueError, match="shadow_sharded_rows"):
+            mk(dataset).shadow(ctx, k=4)
+        d, p, i = eng_mod.shadow_sharded_rows(
+            [mk(dataset[:30]), mk(dataset[30:])], ctx, k=4
+        )
+        monkeypatch.setattr(eng_mod, "_INT32_LIMIT",
+                            np.iinfo(np.int32).max)
+        d0, p0, i0 = mk(dataset).shadow(ctx, k=4)
+        np.testing.assert_array_equal(i, i0)
+        np.testing.assert_array_equal(d, d0)

@@ -315,3 +315,120 @@ class TestMultiHost:
         np.testing.assert_array_equal(dm, d0)
         np.testing.assert_array_equal(pm, p0)
         assert (np.asarray(im)[..., 0] < R_true).all()
+
+
+class TestMeshPallas:
+    """The default TPU mesh route — per-device Pallas two-pass kernel over
+    cached pad views — executed here in interpret mode on the CPU mesh."""
+
+    def _problem(self, rng, R=100, T=256, w=16, B=2):
+        dataset = rng.normal(0, 0.02, size=(R, 1, T)).astype(np.float32)
+        ctx = rng.normal(0, 0.02, size=(B, 1, w)).astype(np.float32)
+        return dataset, ctx
+
+    @pytest.mark.parametrize("n_dev", [1, 8])
+    def test_engine_mesh_pallas_matches_single_device(self, rng, n_dev,
+                                                      monkeypatch):
+        monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+        from shadowing_tpu import PathShadowing, PredictionContext
+
+        dataset, ctx = self._problem(rng)     # R=100: uneven over 8
+        mk = lambda mesh: PathShadowing(
+            Identity(16), RelativeMSE(), dataset,
+            PredictionContext(horizon=8), mesh=mesh,
+        )
+        d0, p0, i0 = mk(None).shadow(ctx, k=24, method="fused")
+        obj = mk(n_dev)
+        dm, pm, im = obj.shadow(ctx, k=24, method="pallas")
+        assert obj._padded is not None        # pad views built and cached
+        np.testing.assert_array_equal(im, i0)
+        np.testing.assert_array_equal(dm, d0)
+        np.testing.assert_array_equal(pm, p0)
+        # second call reuses the cached views and still agrees
+        dm2, pm2, im2 = obj.shadow(ctx, k=24, method="pallas")
+        np.testing.assert_array_equal(im2, i0)
+        np.testing.assert_array_equal(dm2, d0)
+
+    def test_auto_routes_to_pallas_under_force(self, rng, monkeypatch):
+        """method='auto' + mesh picks the pallas route when eligible."""
+        monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+        from shadowing_tpu import PathShadowing, PredictionContext
+
+        dataset, ctx = self._problem(rng, R=64)
+        obj = PathShadowing(Identity(16), RelativeMSE(), dataset,
+                            PredictionContext(horizon=8), mesh=8)
+        d, p, i = obj.shadow(ctx, k=8)        # auto
+        assert obj._padded is not None        # proves the pallas route ran
+        d0, _, i0 = obj.shadow(ctx, k=8, method="fused")
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
+
+    def test_sharded_fused_search_pallas_local(self, rng, monkeypatch):
+        """Direct sharded_fused_search(local_method='pallas') parity."""
+        y, kernel, n_out, x_emb, x_norm2, g = _setup(rng, R=128, T=256)
+        mesh = data_mesh(8)
+        y_sh = shard_dataset(jnp.asarray(y), mesh)
+        norms = _window_norms(jnp.asarray(y), kernel, n_out=n_out,
+                              n_splits=1, identity_fast=True)
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None))
+        norms_sh = jax.device_put(norms, sh)
+        vp, ip, okp = sharded_fused_search(
+            y_sh, norms_sh, g, x_norm2, k=16, n_out=n_out,
+            distance=RelativeMSE(), mesh=mesh, local_method="pallas",
+            interpret=True,
+        )
+        vf, if_, okf = sharded_fused_search(
+            y_sh, norms_sh, g, x_norm2, k=16, n_out=n_out,
+            distance=RelativeMSE(), mesh=mesh,
+        )
+        assert np.asarray(okp).all()
+        np.testing.assert_array_equal(np.asarray(ip), np.asarray(if_))
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vf),
+                                   rtol=1e-4, atol=1e-7)
+
+
+class TestMeshGeneration:
+    """Public dp generation: synthesize_batch/generate with mesh= shards the
+    seed batch; any mesh size returns the same series as mesh=None."""
+
+    def _target(self, rng, T, J):
+        zt = rng.normal(size=(32, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        return scattering_stats(jnp.asarray(zt), build_filter_bank(T, J))
+
+    @pytest.mark.parametrize("n_dev", [1, 8])
+    def test_synthesize_batch_mesh_invariance(self, rng, n_dev):
+        from shadowing_tpu.models.scattering.synthesis import synthesize_batch
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        target = self._target(rng, T, J)
+        kw = dict(target=target, bank=bank, batch=8, tol=0.02, segment=40,
+                  max_iterations=120)
+        z0, rms0 = synthesize_batch(jax.random.PRNGKey(3), **kw)
+        zm, rmsm = synthesize_batch(jax.random.PRNGKey(3), **kw, mesh=n_dev)
+        np.testing.assert_allclose(zm, z0, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(rmsm, rms0, rtol=1e-4, atol=1e-6)
+        # convergence state (which seeds retired) must agree exactly
+        np.testing.assert_array_equal(rmsm < 0.02, rms0 < 0.02)
+
+    def test_generate_mesh_public_api(self, rng):
+        from shadowing_tpu.models.scattering.generate import generate
+
+        obs = rng.normal(0.0002, 0.01, size=700)
+        out0 = generate(obs, R=8, J=4, T=256, max_iterations=60,
+                        tol_optim=0.05, batch=8, seed=1)
+        outm = generate(obs, R=8, J=4, T=256, max_iterations=60,
+                        tol_optim=0.05, batch=8, seed=1, mesh=8)
+        assert outm.shape == (8, 1, 256)
+        np.testing.assert_allclose(outm, out0, rtol=0, atol=1e-6)
+
+    def test_batch_not_multiple_of_mesh_raises(self, rng):
+        from shadowing_tpu.models.scattering.synthesis import synthesize_batch
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        target = self._target(rng, T, J)
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            synthesize_batch(jax.random.PRNGKey(0), target, bank, batch=6,
+                             max_iterations=10, mesh=4)
