@@ -30,33 +30,61 @@ from shadowing_tpu.stats.realized import realized_variance
 
 @dataclass
 class BacktestResult:
-    """Per-date volatility predictions and their realized outcomes."""
+    """Per-date volatility predictions and their realized outcomes.
+
+    When the backtest was run with a benchmark, ``benchmark_predicted``
+    carries the Guyon–Lekeufack autoregressive linear model's predictions on
+    the SAME dates/maturities, and every score method accepts
+    ``which="benchmark"`` — the paper's PSMC-vs-PDV headline table
+    (reference ``README.md:136-138``) is ``result.summary()``.
+    """
 
     Ts: np.ndarray                # maturities (days)
     dates: Optional[np.ndarray]   # (n_dates,) or None
     predicted: np.ndarray         # (n_dates, len(Ts)) annualised variance
     predicted_std: np.ndarray     # (n_dates, len(Ts))
     realized: np.ndarray          # (n_dates, len(Ts)) annualised variance
+    benchmark_predicted: Optional[np.ndarray] = None  # (n_dates, len(Ts))
 
-    def rmse(self) -> np.ndarray:
+    def _pred(self, which: str) -> np.ndarray:
+        if which == "psmc":
+            return self.predicted
+        if which == "benchmark":
+            if self.benchmark_predicted is None:
+                raise ValueError(
+                    "no benchmark was run — pass benchmark='ar-linear' to "
+                    "rolling_backtest"
+                )
+            return self.benchmark_predicted
+        raise ValueError(f"which must be 'psmc' or 'benchmark', got {which!r}")
+
+    def rmse(self, which: str = "psmc") -> np.ndarray:
         """Root mean squared error per maturity, in vol units."""
-        return np.sqrt(
-            ((np.sqrt(self.predicted) - np.sqrt(self.realized)) ** 2).mean(0)
-        )
+        p = self._pred(which)
+        return np.sqrt(((np.sqrt(p) - np.sqrt(self.realized)) ** 2).mean(0))
 
-    def correlation(self) -> np.ndarray:
+    def correlation(self, which: str = "psmc") -> np.ndarray:
         """Pearson correlation of predicted vs realized vol per maturity."""
+        pred = self._pred(which)
         out = []
         for i in range(len(self.Ts)):
-            p = np.sqrt(self.predicted[:, i])
+            p = np.sqrt(pred[:, i])
             r = np.sqrt(self.realized[:, i])
             out.append(np.corrcoef(p, r)[0, 1])
         return np.asarray(out)
 
     def summary(self) -> str:
-        lines = ["maturity  rmse(vol)  corr"]
-        for T, e, c in zip(self.Ts, self.rmse(), self.correlation()):
-            lines.append(f"{int(T):8d}  {e:9.4f}  {c:4.2f}")
+        if self.benchmark_predicted is None:
+            lines = ["maturity  rmse(vol)  corr"]
+            for T, e, c in zip(self.Ts, self.rmse(), self.correlation()):
+                lines.append(f"{int(T):8d}  {e:9.4f}  {c:4.2f}")
+            return "\n".join(lines)
+        lines = ["          ---- PSMC ----   -- AR linear --",
+                 "maturity  rmse(vol)  corr  rmse(vol)  corr"]
+        rows = zip(self.Ts, self.rmse(), self.correlation(),
+                   self.rmse("benchmark"), self.correlation("benchmark"))
+        for T, e, c, eb, cb in rows:
+            lines.append(f"{int(T):8d}  {e:9.4f}  {c:4.2f}  {eb:9.4f}  {cb:4.2f}")
         return "\n".join(lines)
 
 
@@ -73,6 +101,8 @@ def rolling_backtest(
     n_dataset_splits: Optional[int] = None,
     method: str = "auto",
     dates: Optional[np.ndarray] = None,
+    benchmark: Optional[str | dict] = None,
+    benchmark_train: Optional[PriceData | Array] = None,
 ) -> BacktestResult:
     """Backtest PSMC volatility prediction over a historical series.
 
@@ -83,6 +113,16 @@ def rolling_backtest(
     :param Ts: prediction maturities in days
     :param stride: step between prediction dates
     :param dates: optional datetimes aligned to the series' returns
+    :param benchmark: score the Guyon–Lekeufack autoregressive linear model
+        (:class:`~shadowing_tpu.models.pdv.AutoregressiveLinearPredictor`,
+        reference ``PDV.py:41-164``) on the same dates — the paper's
+        comparison table. ``"ar-linear"`` uses the published power-law
+        kernels; a dict is forwarded as constructor kwargs (e.g.
+        ``{"ktype": "exp"}``). One predictor is least-squares fitted per
+        maturity.
+    :param benchmark_train: series the benchmark is fitted on. Default: the
+        backtest series itself — in-sample, exactly how the paper scores the
+        Guyon–Lekeufack fit; pass disjoint history for an out-of-sample fit.
     """
     Ts = np.asarray(list(Ts), dtype=np.int64)
     horizon = engine.context.get_out_times()
@@ -116,10 +156,60 @@ def rolling_backtest(
     )
     realized = np.asarray(realized_variance(futures, Ts=Ts, vol=False))
 
+    bench = None
+    if benchmark is not None:
+        bench = _ar_benchmark_predictions(
+            benchmark, benchmark_train, dlnx, contexts, Ts, w
+        )
+
     return BacktestResult(
         Ts=Ts,
         dates=dates,
         predicted=np.asarray(predicted),
         predicted_std=np.asarray(predicted_std),
         realized=realized,
+        benchmark_predicted=bench,
     )
+
+
+def _ar_benchmark_predictions(
+    benchmark: str | dict,
+    train_series: Optional[PriceData | Array],
+    dlnx: np.ndarray,
+    contexts: np.ndarray,
+    Ts: np.ndarray,
+    w: int,
+) -> np.ndarray:
+    """Fit one AR-linear predictor per maturity and predict on every backtest
+    context (w trailing log-returns). Returns annualised VARIANCE, matching
+    ``BacktestResult.predicted`` units (the predictor itself outputs
+    annualised vol, reference ``PDV.py:105-164``)."""
+    from shadowing_tpu.models.pdv import AutoregressiveLinearPredictor
+
+    if isinstance(benchmark, str):
+        if benchmark != "ar-linear":
+            raise ValueError(f"unknown benchmark {benchmark!r}")
+        kwargs: dict = {"ktype": "power-law"}
+    else:
+        kwargs = dict(benchmark)
+        kwargs.setdefault("ktype", "power-law")
+
+    if train_series is None:
+        train = dlnx
+    elif isinstance(train_series, PriceData):
+        train = dim_bct(train_series.dlnx)[0, 0]
+    else:
+        train = dim_bct(np.asarray(train_series))[0, 0]
+    # the predictor trains on PRICE windows (its separate() takes logs)
+    prices = np.asarray(PriceData(dlnx=train).x)
+
+    s = kwargs.pop("s", 1)
+    # the published kernel constants (lam, delta) are per-YEAR rates
+    dt = kwargs.pop("dt", 1.0 / 252.0)
+    ctx2d = contexts[:, 0] if contexts.ndim == 3 else contexts
+    cols = []
+    for T in Ts:
+        ar = AutoregressiveLinearPredictor(T=int(T), w=w, s=s, dt=dt, **kwargs)
+        ar.train(prices)
+        cols.append(np.asarray(ar.predict(ctx2d)) ** 2)
+    return np.stack(cols, axis=-1)
