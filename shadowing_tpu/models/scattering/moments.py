@@ -109,15 +109,22 @@ def _scattering_stats_flat(
     phi3 = phi3_full[:, ia, ib] / (sig[:, ia] * sig[:, ib])
 
     ta, tb, tc = _index_triples(J)
-    # one small weighted Gram per correlating scale c (J of them); the
-    # triple selection gathers scalars from (B, J, J, J) — trivially cheap
-    grams = [
-        jnp.einsum("bat,bqt->baq", ef_h * S[c][None, None, :],
-                   jnp.conj(ef_h), precision=jax.lax.Precision.HIGH)
-        for c in range(J)
-    ]
-    G = jnp.stack(grams, axis=1) * inv_T2               # (B, c, a, b)
-    phi4 = G[:, tc, ta, tb]
+    # Phi_4 via ONE pair-product + one weighted contraction. A per-scale-c
+    # Gram loop (J einsums, each materialising an S-weighted (B, J, half)
+    # copy of ef) moves ~2 GB/step at the reference config and dominated
+    # the HBM-bound synthesis step (measured 19.6 ms fwd+bwd, of which the
+    # Gram stage was the largest term). The triples only need ordered pairs
+    # a <= b, so build the J(J+1)/2 cross-spectra once and contract the
+    # spectral weights in a single (B, P, half) x (half, J) einsum — one
+    # pass over a 45-row intermediate instead of nine over 81-row ones.
+    pa, pb = np.triu_indices(J)                          # P = J(J+1)/2 pairs
+    Cx = ef_h[:, pa, :] * jnp.conj(ef_h)[:, pb, :]       # (B, P, half)
+    Gp = jnp.einsum("bpt,ct->bpc", Cx, S,
+                    precision=jax.lax.Precision.HIGH) * inv_T2  # (B, P, J)
+    pair_id = np.full((J, J), -1, np.int32)
+    pair_id[pa, pb] = np.arange(len(pa), dtype=np.int32)
+    trip_flat = jnp.asarray(pair_id[ta, tb] * J + tc)    # static ids
+    phi4 = jnp.take(Gp.reshape(B, -1), trip_flat, axis=1)
     phi4 = phi4 / (sig[:, ta] * sig[:, tb])
 
     # mean as a t-statistic (O(1), comparable to the other stats)
