@@ -257,14 +257,17 @@ def bench_generation():
             zeros = jnp.zeros_like(z0)
             i0 = jnp.asarray(0.0)
             # warm the CPU jit (2 steps), then measure (median of 3 —
-            # host timing is noisy under concurrent load)
+            # host timing is noisy under concurrent load). use_mm=False:
+            # the CPU baseline keeps ITS best FFT (pocketfft), not the
+            # TPU-tuned matmul DFT — the comparison stays honest
             np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c, psi_c,
-                                         J=J, n_steps=2)[0])
+                                         J=J, n_steps=2, use_mm=False)[0])
             ts_cpu = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c,
-                                             psi_c, J=J, n_steps=steps_cpu)[0])
+                                             psi_c, J=J, n_steps=steps_cpu,
+                                             use_mm=False)[0])
                 ts_cpu.append(time.perf_counter() - t0)
             dt_cpu = float(np.median(ts_cpu))
         per_seed_step_cpu = dt_cpu / (steps_cpu * b_cpu)

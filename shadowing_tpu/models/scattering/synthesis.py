@@ -48,12 +48,12 @@ def _lr_at(lr, t):
     return lr
 
 
-def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr):
+def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm=None):
     """``n_steps`` Adam steps on a (B, T) seed batch (trace-time body)."""
     b1, b2, eps = 0.9, 0.999, 1e-8
 
     def loss_fn(z):
-        stats = _scattering_stats_flat(z, psi_hat, J=J)   # (B, n)
+        stats = _scattering_stats_flat(z, psi_hat, J=J, use_mm=use_mm)
         # sum of per-seed means: gradients don't depend on the batch split
         return ((stats - target[None]) ** 2).mean(axis=-1).sum(), stats
 
@@ -76,7 +76,7 @@ def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr):
     return z, m, v, per_seed_loss(stats)
 
 
-@partial(jax.jit, static_argnames=("J", "n_steps", "lr"))
+@partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm"))
 def _optimize_segment(
     z: jax.Array,          # (B, T) normalised series being optimised
     m: jax.Array,          # Adam state
@@ -87,12 +87,13 @@ def _optimize_segment(
     J: int,
     n_steps: int,
     lr: float = 0.03,
+    use_mm: bool = None,   # FFT impl for the stats (None: backend default)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run ``n_steps`` Adam steps on the full batch; returns (z, m, v, loss)."""
-    return _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr)
+    return _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm)
 
 
-@partial(jax.jit, static_argnames=("J", "n_steps", "lr"))
+@partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm"))
 def _optimize_segment_compact(
     z_full: jax.Array,     # (batch, T) all seeds (converged ones frozen)
     m_full: jax.Array,
@@ -106,6 +107,7 @@ def _optimize_segment_compact(
     J: int,
     n_steps: int,
     lr: float = 0.03,
+    use_mm: bool = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather the active seeds, Adam-step them, scatter back — one dispatch.
 
@@ -115,7 +117,7 @@ def _optimize_segment_compact(
     """
     z, m, v, losses = _adam_scan(
         z_full[idx], m_full[idx], v_full[idx], i0, target, psi_hat,
-        J, n_steps, lr,
+        J, n_steps, lr, use_mm,
     )
     return (
         z_full.at[idx].set(z),

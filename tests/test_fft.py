@@ -41,6 +41,23 @@ def test_ifft_roundtrip(rng, N):
     np.testing.assert_allclose(got, x, atol=5e-4 * np.abs(x).max())
 
 
+@pytest.mark.parametrize("N", [64, 4096])
+def test_ifft_analytic_matches_padded_ifft(rng, N):
+    """Half-spectrum analytic inverse == ifft of the zero-padded spectrum."""
+    from shadowing_tpu.ops.fft import ifft_analytic_mm
+
+    half = N // 2 + 1
+    spec = (rng.standard_normal((3, half))
+            + 1j * rng.standard_normal((3, half))).astype(np.complex64)
+    full = np.zeros((3, N), np.complex64)
+    full[:, :half] = spec
+    want = np.fft.ifft(full)
+    got = np.asarray(ifft_analytic_mm(jnp.asarray(spec), N))
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
+    with pytest.raises(ValueError, match="bins"):
+        ifft_analytic_mm(jnp.asarray(spec[:, :-1]), N)
+
+
 def test_non_power_of_two_raises():
     with pytest.raises(ValueError, match="power-of-two"):
         fft_mm(jnp.zeros(12))

@@ -329,3 +329,39 @@ class TestFlatness:
         np.testing.assert_allclose(f_gen, f_obs, rtol=0.35)
         # and clearly super-Gaussian
         assert (f_gen > 2.3).any()
+
+
+class TestMMFFTPath:
+    def test_mm_stats_match_native_fft(self, rng):
+        """The MXU matmul-DFT path must reproduce the native-FFT statistics
+        to f32 round-off (same function serves targets and seeds)."""
+        from shadowing_tpu.models.scattering.moments import (
+            _scattering_stats_flat,
+        )
+
+        T, J = 1024, 6
+        bank = build_filter_bank(T, J)
+        x = jnp.asarray(rng.normal(size=(8, T)), jnp.float32)
+        psi = jnp.asarray(bank.psi_hat)
+        a = np.asarray(_scattering_stats_flat(x, psi, J=J, use_mm=False))
+        b = np.asarray(_scattering_stats_flat(x, psi, J=J, use_mm=True))
+        np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-4)
+
+    def test_mm_grad_matches_native(self, rng):
+        from shadowing_tpu.models.scattering.moments import (
+            _scattering_stats_flat,
+        )
+
+        T, J = 512, 5
+        bank = build_filter_bank(T, J)
+        x = jnp.asarray(rng.normal(size=(4, T)), jnp.float32)
+        psi = jnp.asarray(bank.psi_hat)
+        tgt = _scattering_stats_flat(x[:1], psi, J=J, use_mm=False)[0]
+
+        def loss(z, mm):
+            s = _scattering_stats_flat(z, psi, J=J, use_mm=mm)
+            return ((s - tgt[None]) ** 2).mean()
+
+        ga = np.asarray(jax.grad(lambda z: loss(z, False))(x))
+        gb = np.asarray(jax.grad(lambda z: loss(z, True))(x))
+        np.testing.assert_allclose(gb, ga, atol=1e-5 + 1e-3 * np.abs(ga).max())
