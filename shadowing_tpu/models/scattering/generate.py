@@ -72,6 +72,7 @@ def generate(
     batch: int = 256,
     lr=None,
     mesh=None,
+    init: str = "coloured",
 ) -> np.ndarray:
     """Generate ``R`` synthetic log-return trajectories calibrated to ``x``.
 
@@ -90,6 +91,8 @@ def generate(
     :param mesh: synthesise data-parallel over a device mesh (an int device
         count or a ``Mesh`` with a ``"data"`` axis); seeds shard over
         devices, results identical to ``mesh=None``
+    :param init: seed initialisation — ``"coloured"`` (default, spectrum
+        shaped to the target per-scale powers) or ``"white"``
     :return: ``(R, 1, T)`` float32 log-returns
     """
     del cuda
@@ -117,7 +120,7 @@ def generate(
         tag = hashlib.sha1(
             np.asarray(target).tobytes()
             + f"T{T}_J{J}_tol{tol_optim:g}_it{max_iterations}_lr{lr}"
-            f"_seed{seed}_b{batch}".encode()
+            f"_seed{seed}_b{batch}_init{init}".encode()
         ).hexdigest()[:12]
         cache_dir = Path(cache_path) / f"scatgen_{tag}"
         cache_dir.mkdir(parents=True, exist_ok=True)
@@ -141,6 +144,7 @@ def generate(
                 key, target, bank_gen, batch=batch,
                 max_iterations=max_iterations, tol=tol_optim, lr=lr,
                 verbose=verbose, checkpoint_path=ckpt, mesh=mesh,
+                init=init,
             )
             if shard_file is not None:
                 np.save(shard_file, z)

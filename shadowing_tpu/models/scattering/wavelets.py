@@ -30,12 +30,20 @@ class FilterBank:
     psi_hat: ``(J, T)`` analytic band-pass filters (float32, real-valued
         transfer functions on the fft frequency grid)
     phi_hat: ``(T,)`` low-pass at scale ``2**J``
+    band_hi: per-scale upper support bin (exclusive): ``|psi_hat[j]|`` is
+        below ``1e-6`` of its peak for all bins ``>= band_hi[j]``. Static
+        (hashable) — the scattering statistics truncate their spectral
+        contractions here, which is what makes the cross-scale Phi_3/Phi_4
+        terms cheap (coarse scales occupy ~T/2**j bins; contracting the
+        full axis for every scale is ~J x wasted traffic). Rounded up to a
+        multiple of 128 (TPU lane width).
     """
 
     J: int
     T: int
     psi_hat: np.ndarray
     phi_hat: np.ndarray
+    band_hi: tuple = ()
 
 
 def _morlet_hat(omega: np.ndarray, xi: float, sigma: float) -> np.ndarray:
@@ -72,9 +80,17 @@ def build_filter_bank(T: int, J: int) -> FilterBank:
     psi = psi / norm
     phi = phi / norm
 
+    psi = psi.astype(np.float32)
+    half = T // 2 + 1
+    band_hi = []
+    for j in range(J):
+        nz = np.flatnonzero(np.abs(psi[j, :half]) > 1e-6 * np.abs(psi[j]).max())
+        hi = int(nz[-1]) + 1 if nz.size else 1
+        band_hi.append(min(half, -(-hi // 128) * 128))
     return FilterBank(
         J=J,
         T=T,
-        psi_hat=psi.astype(np.float32),
+        psi_hat=psi,
         phi_hat=phi.astype(np.float32),
+        band_hi=tuple(band_hi),
     )

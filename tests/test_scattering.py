@@ -168,9 +168,10 @@ class TestSynthesis:
         assert np.median(rms) < 0.05
 
     def test_compact_segment_matches_full(self, rng):
-        """Gather->step->scatter on an active subset must equal stepping the
-        subset directly, and leave retired rows untouched bit-for-bit —
-        duplicate (cycled) pad indices included."""
+        """Gather->step->scatter on an active subset must match stepping the
+        subset directly (to round-off: XLA reduction tiling may differ
+        between batch shapes) and leave retired rows untouched bit-for-bit
+        — duplicate (cycled) pad indices included."""
         from shadowing_tpu.models.scattering.synthesis import (
             _optimize_segment,
             _optimize_segment_compact,
@@ -197,8 +198,10 @@ class TestSynthesis:
             z0[jnp.asarray(active)], m0[: 3], v0[: 3], i0, target, psi,
             J=J, n_steps=5,
         )
-        np.testing.assert_array_equal(np.asarray(zc)[active], np.asarray(zf))
-        np.testing.assert_array_equal(np.asarray(lc)[:3], np.asarray(lf))
+        np.testing.assert_allclose(np.asarray(zc)[active], np.asarray(zf),
+                                   atol=5e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(lc)[:3], np.asarray(lf),
+                                   rtol=1e-4, atol=1e-8)
         frozen = np.setdiff1d(np.arange(8), active)
         np.testing.assert_array_equal(
             np.asarray(zc)[frozen], np.asarray(z0)[frozen]
@@ -216,7 +219,7 @@ class TestSynthesis:
         zt = rng.normal(size=(32, T)).astype(np.float32)
         zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
         target = scattering_stats(jnp.asarray(zt), bank)
-        kw = dict(target=target, bank=bank, batch=8, tol=0.02, segment=40,
+        kw = dict(target=target, bank=bank, batch=8, tol=0.002, segment=40,
                   max_iterations=200)
 
         z_ref, rms_ref = synthesize_batch(jax.random.PRNGKey(5), **kw)
@@ -365,3 +368,70 @@ class TestMMFFTPath:
         ga = np.asarray(jax.grad(lambda z: loss(z, False))(x))
         gb = np.asarray(jax.grad(lambda z: loss(z, True))(x))
         np.testing.assert_allclose(gb, ga, atol=1e-5 + 1e-3 * np.abs(ga).max())
+
+
+class TestColouredInit:
+    def test_colour_filter_matches_target_power(self, rng):
+        """Coloured seeds start with per-scale wavelet powers ~= target."""
+        from shadowing_tpu.models.scattering.moments import (
+            _scattering_stats_flat,
+        )
+        from shadowing_tpu.models.scattering.synthesis import _coloured_noise
+
+        T, J = 2048, 6
+        bank = build_filter_bank(T, J)
+        # a strongly non-flat target: an AR(1)-like red spectrum
+        x = rng.normal(size=(64, T)).astype(np.float32)
+        for t in range(1, T):
+            x[:, t] += 0.82 * x[:, t - 1]
+        x = (x - x.mean(-1, keepdims=True)) / x.std(-1, keepdims=True)
+        psi = jnp.asarray(bank.psi_hat)
+        target = _scattering_stats_flat(jnp.asarray(x), psi, J=J).mean(0)
+
+        z = _coloured_noise(jax.random.PRNGKey(0), 64, T, target, psi, J)
+        z = np.asarray(z)
+        assert np.isfinite(z).all()
+        np.testing.assert_allclose(z.std(-1), 1.0, atol=1e-5)  # unit scale
+        got = _scattering_stats_flat(jnp.asarray(z), psi, J=J).mean(0)
+        # logpower slice [2 : 2+J]: matched to ~15% in log space, vs an
+        # order-of-magnitude mismatch for white seeds
+        lp_t = np.asarray(target[2:2 + J])
+        lp_g = np.asarray(got[2:2 + J])
+        white = _scattering_stats_flat(
+            jax.random.normal(jax.random.PRNGKey(1), (64, T), jnp.float32),
+            psi, J=J).mean(0)
+        lp_w = np.asarray(white[2:2 + J])
+        assert np.abs(lp_g - lp_t).max() < 0.2
+        assert np.abs(lp_g - lp_t).max() < 0.25 * np.abs(lp_w - lp_t).max()
+
+    def test_coloured_init_converges_faster(self, rng):
+        """Same tol, same budget: coloured init must not be worse than
+        white (and typically converges in fewer steps)."""
+        from shadowing_tpu.models.scattering.synthesis import synthesize_batch
+
+        T, J = 512, 4
+        bank = build_filter_bank(T, J)
+        x = rng.normal(size=(64, T)).astype(np.float32)
+        for t in range(1, T):
+            x[:, t] += 0.7 * x[:, t - 1]
+        x = (x - x.mean(-1, keepdims=True)) / x.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(x), bank)
+        wl_c, wl_w = {}, {}
+        _, rms_c = synthesize_batch(
+            jax.random.PRNGKey(2), target, bank, batch=8, tol=0.03,
+            segment=50, max_iterations=400, work_log=wl_c, init="coloured")
+        _, rms_w = synthesize_batch(
+            jax.random.PRNGKey(2), target, bank, batch=8, tol=0.03,
+            segment=50, max_iterations=400, work_log=wl_w, init="white")
+        assert (rms_c < 0.05).mean() >= (rms_w < 0.05).mean()
+        assert wl_c["seed_steps"] <= wl_w["seed_steps"]
+
+    def test_bad_init_raises(self, rng):
+        from shadowing_tpu.models.scattering.synthesis import synthesize_batch
+
+        bank = build_filter_bank(256, 4)
+        target = scattering_stats(
+            jnp.asarray(rng.normal(size=(4, 256)), jnp.float32), bank)
+        with pytest.raises(ValueError, match="init"):
+            synthesize_batch(jax.random.PRNGKey(0), target, bank, batch=4,
+                             max_iterations=10, init="pink")
