@@ -124,15 +124,22 @@ def _scattering_stats_flat(
     # negative bins AND Nyquist, tested), so only the non-negative half
     # spectrum ever carries signal — the mm path works on half spectra
     # end to end (real-input forward, analytic inverse)
+    # the mm path stays in (real, imag) f32 planes end to end — no
+    # complex64 arrays at all (plane arithmetic measured ~30% faster
+    # than complex ops through XLA on this backend)
+    psi_h = psi_hat[:, :half_]
     if use_mm:
-        xf_h = mmfft.rfft_mm(xc)                        # (B, half)
-        spec = xf_h[:, None, :] * psi_hat[None, :, :half_]
-        w = mmfft.ifft_analytic_mm(spec, T)             # (B, J, T)
+        xr, xi = mmfft.rfft_mm_planes(xc)               # (B, half) each
+        wr, wi = mmfft.ifft_analytic_mm_planes(
+            xr[:, None, :] * psi_h[None], xi[:, None, :] * psi_h[None], T
+        )                                               # (B, J, T) each
+        env = jnp.sqrt(wr * wr + wi * wi)
     else:
         xf = jnp.fft.fft(xc, axis=-1)                   # (B, T) complex
         xf_h = xf[..., :half_]
+        xr, xi = jnp.real(xf_h), jnp.imag(xf_h)
         w = jnp.fft.ifft(xf[:, None, :] * psi_hat[None], axis=-1)
-    env = jnp.abs(w)                                    # (B, J, T)
+        env = jnp.abs(w)                                # (B, J, T)
 
     p2 = (env**2).mean(axis=-1)                         # (B, J)
     sig = jnp.sqrt(jnp.maximum(p2, 1e-30))
@@ -158,9 +165,10 @@ def _scattering_stats_flat(
     half = half_
     S = (jnp.abs(psi_hat) ** 2)[:, :half]               # (J, half) real
     if use_mm:
-        ef_h = mmfft.rfft_mm(envc)                      # (B, J, half)
+        er, ei = mmfft.rfft_mm_planes(envc)             # (B, J, half) each
     else:
         ef_h = jnp.fft.fft(envc, axis=-1)[..., :half]
+        er, ei = jnp.real(ef_h), jnp.imag(ef_h)
     inv_T2 = 1.0 / (jnp.float32(T) * T)
 
     # Phi_3 / Phi_4 spectral contractions, band-limited and in real planes.
@@ -177,8 +185,6 @@ def _scattering_stats_flat(
     if bands is None:
         bands = (half,) * J
     HIGH = jax.lax.Precision.HIGH
-    er, ei = jnp.real(ef_h), jnp.imag(ef_h)
-    xr, xi = jnp.real(xf_h), jnp.imag(xf_h)
 
     ia, ib = _index_pairs(J)
     p3r, p3i = [], []

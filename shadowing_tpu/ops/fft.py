@@ -145,6 +145,31 @@ def rfft_mm(x: jax.Array) -> jax.Array:
     return jax.lax.complex(r, i)
 
 
+def rfft_mm_planes(x: jax.Array):
+    """:func:`rfft_mm` returning separate (real, imag) f32 planes — lets
+    plane-native callers (the scattering statistics) skip every complex64
+    pack/unpack pass."""
+    N = x.shape[-1]
+    return _dft_planes(x, None, N, n_bins=N // 2 + 1)
+
+
+def ifft_analytic_mm_planes(spec_r: jax.Array, spec_i: jax.Array, N: int):
+    """:func:`ifft_analytic_mm` on (real, imag) half-spectrum planes,
+    returning the analytic signal as (real, imag) planes."""
+    half = N // 2 + 1
+    if spec_r.shape[-1] != half:
+        raise ValueError(
+            f"expected {half} non-negative bins for N={N}, "
+            f"got {spec_r.shape[-1]}"
+        )
+    N1, N2 = _split(N)
+    n1_rows = -(-half // N2)
+    padw = [(0, 0)] * (spec_r.ndim - 1) + [(0, n1_rows * N2 - half)]
+    r, i = _dft_planes(jnp.pad(spec_r, padw), jnp.pad(-spec_i, padw),
+                       N, n1_rows=n1_rows)
+    return r / N, -i / N
+
+
 def ifft_analytic_mm(spec_half: jax.Array, N: int) -> jax.Array:
     """Length-``N`` inverse DFT of an *analytic* spectrum given as its
     ``N // 2 + 1`` non-negative bins (bins above N/2 are zero — e.g. a

@@ -76,3 +76,28 @@ def test_grad_flows_and_matches_fft_adjoint(rng):
     g_mm = np.asarray(jax.grad(loss_mm)(jnp.asarray(x)))
     g_np = np.asarray(jax.grad(loss_np)(jnp.asarray(x)))
     np.testing.assert_allclose(g_mm, g_np, atol=1e-3 * np.abs(g_np).max())
+
+
+def test_plane_apis_match_complex(rng):
+    from shadowing_tpu.ops.fft import (
+        ifft_analytic_mm,
+        ifft_analytic_mm_planes,
+        rfft_mm,
+        rfft_mm_planes,
+    )
+
+    N = 512
+    x = rng.standard_normal((3, N)).astype(np.float32)
+    r, i = rfft_mm_planes(jnp.asarray(x))
+    want = np.asarray(rfft_mm(jnp.asarray(x)))
+    np.testing.assert_array_equal(np.asarray(r), want.real)
+    np.testing.assert_array_equal(np.asarray(i), want.imag)
+
+    half = N // 2 + 1
+    sr = rng.standard_normal((3, half)).astype(np.float32)
+    si = rng.standard_normal((3, half)).astype(np.float32)
+    wr, wi = ifft_analytic_mm_planes(jnp.asarray(sr), jnp.asarray(si), N)
+    want = np.asarray(ifft_analytic_mm(
+        jax.lax.complex(jnp.asarray(sr), jnp.asarray(si)), N))
+    np.testing.assert_allclose(np.asarray(wr), want.real, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wi), want.imag, atol=1e-6)
