@@ -284,6 +284,23 @@ def bench_generation():
             f"{min(ts_cpu):.2f}-{max(ts_cpu):.2f}s) -> "
             f"{cpu_pps:.3f} paths/s on this workload -> TPU is "
             f"{gen_vs_cpu:.0f}x CPU")
+        # HBM roofline for the synthesis step: the fwd+bwd pass is bound by
+        # ~28 f32 (batch, J, T) array passes (two forward wavelet DFT
+        # stages + their adjoints at 4 traffic passes each through the
+        # matmul FFT, the analytic-signal planes, envelope/centred-envelope
+        # elementwise chains, and their gradients); the banded Phi
+        # contractions add ~2 more full-spectrum-equivalent passes. The
+        # per-seed-step floor at the measured HBM rate contextualises the
+        # CPU ratio: the CPU minimum itself swings ~20% run to run.
+        tpu_seed_step_s = t_warm / wl["seed_steps"]
+        passes = 30
+        hbm = float(os.environ.get("BENCH_HBM_GBPS", "646"))
+        floor = passes * batch * J * T * 4 / (hbm * 1e9) / batch
+        log(f"[gen] roofline: measured {tpu_seed_step_s*1e6:.1f} us/seed-step"
+            f" vs ~{floor*1e6:.1f} us HBM floor ({passes} (B,J,T) passes at "
+            f"{hbm:.0f} GB/s) -> {floor/tpu_seed_step_s:.0%} of roofline "
+            f"(includes segment-end evals, compaction gathers and "
+            f"small-bucket underutilisation)")
     return {
         "gen_paths_per_s": round(pps, 2),
         "gen_vs_cpu": round(gen_vs_cpu, 1) if gen_vs_cpu else None,
@@ -306,7 +323,8 @@ def bench_backtest():
 
     rng = np.random.default_rng(2)
     dataset = (rng.standard_normal((32768, 1, 4096)) * 0.011).astype(np.float32)
-    n_dates, w, chunk = 2048, 20, 64
+    n_dates, w = 2048, 20
+    chunk = int(os.environ.get("BENCH_BT_CHUNK", "64"))
     series = (rng.standard_normal(n_dates + w + 20 - 1) * 0.011).astype(
         np.float32
     )

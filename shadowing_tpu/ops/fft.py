@@ -28,9 +28,9 @@ Design choices that make it fast here:
   (half the stage-1 rows) — exactly the two transforms the scattering
   statistics need at (B, J, T) scale.
 
-Stages contract with ``precision=HIGHEST`` (f32-faithful bf16 passes):
-the DFT feeds fourth-moment statistics, and the MACs are ~100x cheaper
-than the HBM traffic here, so accuracy costs nothing. All ops are jnp
+Stages contract with ``precision=HIGH`` (bf16x3 passes, ~1e-6 relative
+— plenty for the statistics these DFTs feed, at half the MXU time of
+HIGHEST; parity vs np.fft is pinned by tests at 2e-4). All ops are jnp
 einsums: jit/vmap/grad compose, and adjoints are again DFT matmuls.
 
 Correctness is pinned against ``np.fft`` (tests/test_fft.py), including
@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGH
 
 
 @lru_cache(maxsize=None)
