@@ -106,6 +106,9 @@ def _make_kernel(nblk: int, C: int, m: int, cols: int):
                     seg, g,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # Mosaic dots support only DEFAULT/HIGHEST; DEFAULT
+                    # (single bf16 pass, ~1e-2 relative) overruns pass-2's
+                    # 1e-5 certification guard, so stay f32-faithful
                     precision=jax.lax.Precision.HIGHEST,
                 )                                        # (TR, L)
                 cross = part if cross is None else cross + part
@@ -132,16 +135,24 @@ def score_blockmin(
     G = G.reshape(B, C * m * L, L)
     tr = _rows_per_tile(C * cols)
 
-    grid = (B, R // tr)
+    # contexts iterate FASTEST (rightmost grid dim): consecutive steps keep
+    # the same trajectory/norm tile resident and only re-stream the tiny
+    # filter block, so the dataset is read once per search instead of once
+    # per context. Measured neutral at B=64 on the 32768x4096 config (the
+    # kernel is MXU-bound: the banded Toeplitz contracts mL=2L samples per
+    # L-block output at f32-faithful precision — ~2.2 ms/context there),
+    # but it is the right locality for narrower/multi-channel configs
+    # where the y tile is the larger term.
+    grid = (R // tr, B)
     return pl.pallas_call(
         _make_kernel(nblk, C, m, cols),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tr, C * cols), lambda b, i: (0, i, 0)),
-            pl.BlockSpec((1, tr, nblk * L), lambda b, i: (0, i, 0)),
-            pl.BlockSpec((1, C * m * L, L), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tr, C * cols), lambda i, b: (0, i, 0)),
+            pl.BlockSpec((1, tr, nblk * L), lambda i, b: (0, i, 0)),
+            pl.BlockSpec((1, C * m * L, L), lambda i, b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tr, nblk), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, tr, nblk), lambda i, b: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, R, nblk), jnp.float32),
         interpret=interpret,
     )(y2[None], norms2[None], G)
