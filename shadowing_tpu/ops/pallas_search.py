@@ -259,28 +259,32 @@ def two_pass_search_padded(
     bidx = jnp.sort(bidx, axis=-1)  # flat order: ties match the sort oracle
     r = bidx // nblk                                     # (B, cap)
     j = bidx % nblk
-    # candidate segments: one whole-ROW gather (contiguous last dim —
-    # DMA-friendly) followed by one-hot block selection on the MXU. A
-    # two-index gather here scalarises on TPU and costs ~30x more
-    # (measured 65 ms vs 2 ms for cap=10^4 on the reference config).
+    # candidate segments: flat SINGLE-axis row gathers on an L-column view.
+    # Each candidate needs only its m L-blocks, so gathering whole padded
+    # rows (C * cols floats each) and one-hot-selecting blocks moved ~17x
+    # more HBM than necessary (1.6 GB vs 92 MB per 64-context chunk at the
+    # backtest config). Reshaping to (Rp * C * nb_y, L) keeps the gathered
+    # rows contiguous in their last dim (the DMA-friendly kind — the
+    # gather to avoid on TPU is the TWO-index form a[r[:, None], col],
+    # which scalarises; measured 65 ms vs 2 ms at cap=10^4, round 2).
     nb_y = cols // L
-    Zb = y3[r.reshape(-1)].reshape(B, cap, C, nb_y, L)
+    y3f = y3.reshape(Rp * C * nb_y, L)
+    base = r[..., None] * C + jnp.arange(C, dtype=jnp.int32)  # (B, cap, C)
     seg = jnp.concatenate(
         [
-            jnp.einsum("bkn,bkcnl->bkcl",
-                       jax.nn.one_hot(j + t, nb_y, dtype=y3.dtype), Zb)
+            y3f[(base * nb_y + (j + t)[..., None]).reshape(-1)]
+            .reshape(B, cap, C, L)
             for t in range(m)
         ],
         axis=-1,
     )                                                    # (B, cap, C, mL)
     cross = jnp.einsum("bkcs,bcsl->bkl", seg, G,
                        precision=jax.lax.Precision.HIGHEST)
-    # norms rows likewise; +inf padding must not meet the one-hot zeros
-    # (inf * 0 = nan), so clamp to a huge finite loser after the gather
-    Nr = n2[r.reshape(-1)].reshape(B, cap, nblk, L)
-    Nr = jnp.where(jnp.isinf(Nr), jnp.float32(1e30), Nr)
-    nsel = jnp.einsum("bkn,bknl->bkl",
-                      jax.nn.one_hot(j, nblk, dtype=n2.dtype), Nr)
+    # norms block likewise; clamp the +inf row padding to a huge finite
+    # loser (downstream arithmetic must stay NaN-free)
+    n2f = n2.reshape(Rp * nblk, L)
+    nsel = n2f[(r * nblk + j).reshape(-1)].reshape(B, cap, L)
+    nsel = jnp.where(jnp.isinf(nsel), jnp.float32(1e30), nsel)
     s = nsel - 2.0 * cross                               # (B, cap, L)
     flat_idx = (
         (r * nblk + j)[:, :, None] * L

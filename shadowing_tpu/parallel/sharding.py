@@ -371,9 +371,13 @@ def sharded_finalize_shadow(
     mesh: Mesh,
 ):
     """Sharded extraction + replicated exact rescore + ascending sort —
-    the mesh twin of the engine's ``_finalize_shadow``, one dispatch."""
+    the mesh twin of the engine's ``_finalize_shadow``, one dispatch.
+
+    ``flat_idx`` is pre-sorted per context (same canonical tie order as the
+    single-device finalize — see ``_finalize_shadow``)."""
     from shadowing_tpu.shadow.engine import _exact_rescore
 
+    flat_idx = jnp.sort(flat_idx, axis=-1)
     paths, idces = sharded_extract(y, flat_idx, n_out=n_out,
                                    w_extract=w_extract, mesh=mesh)
     in_paths = select_in(paths)

@@ -331,7 +331,14 @@ def _finalize_shadow(
     distance: PathDistance,
     select_in,
 ):
-    """Extraction + exact rescore + ascending sort, fused into one dispatch."""
+    """Extraction + exact rescore + ascending sort, fused into one dispatch.
+
+    ``flat_idx`` is pre-sorted per context so the stable argsort below
+    yields the canonical (distance, flat id) order: every method — fused,
+    pallas, direct, mesh, redo — returns bit-identical winner order even
+    when distinct windows tie in f32 distance (observed in practice: two
+    windows of a 32768x4096 search tied at rank 905)."""
+    flat_idx = jnp.sort(flat_idx, axis=-1)
     paths, idces = _extract_paths(y, flat_idx, n_out=n_out,
                                   w_extract=w_extract)
     in_paths = select_in(paths)

@@ -112,6 +112,36 @@ class TestShadowCore:
         np.testing.assert_array_equal(d1, d4)
         np.testing.assert_array_equal(d1, d5)
 
+    def test_tie_order_canonical_across_methods(self, rng, monkeypatch):
+        """Distinct windows CAN tie bit-exactly in f32 distance (duplicated
+        trajectories here; observed in the wild at a 32768x4096 search).
+        Every method must break ties identically — canonical (distance,
+        flat id) order — so fused / pallas / direct return bit-identical
+        indices, not just distances."""
+        monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+        dataset = rng.normal(0, 0.02, size=(32, 1, 256)).astype(np.float32)
+        dataset[17] = dataset[3]   # every window of traj 3 ties with traj 17
+        dataset[29] = dataset[3]
+        x_context = dataset[[3], :, 40:64]
+        emb = Identity(24)
+        obj = PathShadowing(emb, RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        k = 60  # deep enough to contain many tied triples
+        d_f, _, i_f = obj.shadow(x_context, k=k, method="fused")
+        d_d, _, i_d = obj.shadow(x_context, k=k, method="direct")
+        d_p, _, i_p = obj.shadow(x_context, k=k, method="pallas")
+        np.testing.assert_array_equal(d_f, d_d)
+        np.testing.assert_array_equal(i_f, i_d)
+        np.testing.assert_array_equal(d_f, d_p)
+        np.testing.assert_array_equal(i_f, i_p)
+        # the duplicated trajectories really did produce in-k ties
+        n_out = 256 - 24 - 16 + 1
+        flat = i_f[0, :, 0].astype(np.int64) * n_out + i_f[0, :, 1]
+        dup = d_f[0][1:] == d_f[0][:-1]
+        assert dup.any()
+        # and tied runs are ordered by ascending flat id
+        assert (np.diff(flat)[dup] > 0).all()
+
     def test_roundtrip_distances(self, small_problem):
         """Reference testing.ipynb cell-2 property: re-embedding the returned
         paths' in-context part reproduces the returned distances."""
