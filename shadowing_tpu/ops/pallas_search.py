@@ -43,10 +43,12 @@ from shadowing_tpu.ops.sliding import _toeplitz as _toeplitz_generic
 L = 128               # window starts per block (= the tournament block size)
 _MAX_SEG_BLOCKS = 4   # filter may span up to this many L-blocks
 MAX_WIDTH = (_MAX_SEG_BLOCKS - 1) * L + 1   # widest supported filter (385)
-#: target bytes for the trajectory tile per grid step; the pipeline holds
-#: two double-buffered input tiles of roughly this size, so keep the total
-#: well under the 16 MB VMEM
-_VMEM_TILE = 3 << 19
+#: total byte budget for the kernel's input tiles: trajectory + norms tile
+#: (similar widths), each double-buffered by the pipeline — keep under the
+#: 16 MB VMEM with room for the filter block and kernel temporaries
+#: (measured at the backtest config: 2x(tr=256) tiles = 17 MB fails to
+#: compile; tr=128 at 8.5 MB is the fastest point of the TR sweep)
+_VMEM_IN = 12 << 20
 
 
 def force_interpret() -> bool:
@@ -77,8 +79,14 @@ def padded_id_space(R: int, C: int, n_out: int, w: int) -> int:
 
 
 def _rows_per_tile(t_cols: int) -> int:
-    tr = _VMEM_TILE // (t_cols * 4)
-    return max(8, min(256, (tr // 8) * 8))
+    # 4 tile-buffers (trajectory + norms, double-buffered) of ~t_cols*4
+    # bytes per row; prefer whole multiples of 128 rows — the MXU's row
+    # tile — once the budget allows (TR sweep at the backtest config:
+    # 88 rows -> 110.7 ms, 128 -> 102.7, 152 -> 105.3, 184 -> 103.8)
+    tr = _VMEM_IN // (16 * t_cols)
+    if tr >= 128:
+        return min(256, (tr // 128) * 128)
+    return max(8, (tr // 8) * 8)
 
 
 def _toeplitz_ml(g: jax.Array, m: int) -> jax.Array:
@@ -91,40 +99,82 @@ def _toeplitz_ml(g: jax.Array, m: int) -> jax.Array:
     return jnp.pad(G, ((0, 0), (0, m * L - G.shape[1]), (0, 0)))
 
 
-def _make_kernel(nblk: int, C: int, m: int, cols: int):
-    """Pass-1 kernel: per 128-start block, cross = sum_c seg_c @ G_c on the
-    MXU; score = norms - 2*cross; write only each block's minimum."""
+_DN = (((1,), (0,)), ((), ()))
 
-    def kernel(y_ref, nrm_ref, g_ref, out_ref):
+
+def _dot_f32(a, b):
+    return jax.lax.dot_general(a, b, dimension_numbers=_DN,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _split_bf16(x):
+    """Hi/lo bf16 decomposition: ``x ~= hi + lo`` with residual ~2^-18 |x|."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_kernel(nblk: int, C: int, m: int, cols: int, mxu: str):
+    """Pass-1 kernel: per 128-start block, cross = sum_c seg_c @ G_c on the
+    MXU; score = norms - 2*cross; write only each block's minimum.
+
+    ``mxu`` selects the contraction scheme. Mosaic dots only support
+    DEFAULT/HIGHEST, and Mosaic HIGHEST is the 6-pass bf16 emulation —
+    twice the MXU work of XLA's HIGH (3-pass), which is what the fused XLA
+    path certifies with under the same 1e-5 guard (engine PRECISION_SELECT).
+    ``"bf16x3"`` (default) reproduces HIGH by hand: hi/lo bf16 splits of
+    both operands, three native-bf16 DEFAULT dots (hi@hi + lo@hi + hi@lo),
+    f32 accumulation — the dropped lo@lo term and split residuals are
+    ~2^-18 relative, the same error class as XLA HIGH. A plain DEFAULT dot
+    (single bf16 pass, ~1e-2 relative) would overrun the certification
+    guard; ``"highest"`` keeps the f32-faithful 6-pass emulation for
+    diagnostics and parity tests.
+    """
+
+    def kernel_highest(y_ref, nrm_ref, g_ref, out_ref):
         mins = []
         for j in range(nblk):                            # static unroll
             cross = None
             for c in range(C):                           # channel accumulate
                 seg = y_ref[0, :, c * cols + j * L : c * cols + (j + m) * L]
                 g = g_ref[0, c * m * L : (c + 1) * m * L, :]    # (mL, L)
-                part = jax.lax.dot_general(
-                    seg, g,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # Mosaic dots support only DEFAULT/HIGHEST; DEFAULT
-                    # (single bf16 pass, ~1e-2 relative) overruns pass-2's
-                    # 1e-5 certification guard, so stay f32-faithful
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                        # (TR, L)
+                part = _dot_f32(seg, g)                  # (TR, L)
                 cross = part if cross is None else cross + part
             s = nrm_ref[0, :, j * L : (j + 1) * L] - 2.0 * cross
             mins.append(s.min(axis=1))
         out_ref[0] = jnp.stack(mins, axis=1)             # (TR, nblk)
 
-    return kernel
+    def kernel_bf16x3(y_ref, nrm_ref, g_ref, out_ref):
+        # g_ref carries [G_hi; G_lo] stacked along the contraction axis
+        gl_off = C * m * L
+        dot = partial(jax.lax.dot_general, dimension_numbers=_DN,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        mins = []
+        for j in range(nblk):
+            cross = None
+            for c in range(C):
+                seg = y_ref[0, :, c * cols + j * L : c * cols + (j + m) * L]
+                seg_hi, seg_lo = _split_bf16(seg)
+                g_hi = g_ref[0, c * m * L : (c + 1) * m * L, :]
+                g_lo = g_ref[0, gl_off + c * m * L : gl_off + (c + 1) * m * L, :]
+                part = dot(seg_hi, g_hi) + dot(seg_lo, g_hi) + dot(seg_hi, g_lo)
+                cross = part if cross is None else cross + part
+            s = nrm_ref[0, :, j * L : (j + 1) * L] - 2.0 * cross
+            mins.append(s.min(axis=1))
+        out_ref[0] = jnp.stack(mins, axis=1)
+
+    return kernel_bf16x3 if mxu == "bf16x3" else kernel_highest
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "mxu"))
 def score_blockmin(
     y2: jax.Array,       # (R, C * cols) padded trajectories, chan-major
     norms2: jax.Array,   # (R, nblk * L) window norms, +inf outside n_out
     g: jax.Array,        # (B, C, w) combined context filters, w <= MAX_WIDTH
     interpret: bool = False,
+    mxu: str = "bf16x3",
 ) -> jax.Array:          # (B, R, nblk) block minima of the scores
     R = y2.shape[0]
     B, C, w = g.shape
@@ -133,6 +183,11 @@ def score_blockmin(
     m = _seg_blocks(w)
     G = jax.vmap(lambda gb: _toeplitz_ml(gb, m))(g)      # (B, C, mL, L)
     G = G.reshape(B, C * m * L, L)
+    if mxu == "bf16x3":
+        # hi/lo bf16 splits of the Toeplitz operator, stacked along the
+        # contraction axis (one ref; the kernel slices the halves)
+        g_hi, g_lo = _split_bf16(G)
+        G = jnp.concatenate([g_hi, g_lo], axis=1)        # bf16 (B, 2CmL, L)
     tr = _rows_per_tile(C * cols)
 
     # contexts iterate FASTEST (rightmost grid dim): consecutive steps keep
@@ -140,17 +195,18 @@ def score_blockmin(
     # filter block, so the dataset is read once per search instead of once
     # per context. Measured neutral at B=64 on the 32768x4096 config (the
     # kernel is MXU-bound: the banded Toeplitz contracts mL=2L samples per
-    # L-block output at f32-faithful precision — ~2.2 ms/context there),
-    # but it is the right locality for narrower/multi-channel configs
-    # where the y tile is the larger term.
+    # L-block output — ~1.6 ms/context there at bf16x3 / TR=128, which is
+    # ~130 TFLOP/s effective, at the measured device envelope), but it is
+    # the right locality for narrower/multi-channel configs where the y
+    # tile is the larger term.
     grid = (R // tr, B)
     return pl.pallas_call(
-        _make_kernel(nblk, C, m, cols),
+        _make_kernel(nblk, C, m, cols, mxu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tr, C * cols), lambda i, b: (0, i, 0)),
             pl.BlockSpec((1, tr, nblk * L), lambda i, b: (0, i, 0)),
-            pl.BlockSpec((1, C * m * L, L), lambda i, b: (b, 0, 0)),
+            pl.BlockSpec((1, G.shape[1], L), lambda i, b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tr, nblk), lambda i, b: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, R, nblk), jnp.float32),
@@ -183,7 +239,7 @@ def _pad_views(
     return y3, n2
 
 
-@partial(jax.jit, static_argnames=("k", "n_out", "cap", "interpret"))
+@partial(jax.jit, static_argnames=("k", "n_out", "cap", "interpret", "mxu"))
 def two_pass_search(
     y: jax.Array,        # (R, C, T)
     norms: jax.Array,    # (R, n_out)
@@ -192,6 +248,7 @@ def two_pass_search(
     n_out: int,
     cap: Optional[int] = None,
     interpret: bool = False,
+    mxu: str = "bf16x3",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Exact k-smallest scores over all (trajectory, window) pairs.
 
@@ -200,10 +257,10 @@ def two_pass_search(
     """
     y3, n2 = _pad_views(y, norms, n_out, w=g.shape[-1])
     return two_pass_search_padded(y3, n2, g, k=k, n_out=n_out, cap=cap,
-                                  interpret=interpret)
+                                  interpret=interpret, mxu=mxu)
 
 
-@partial(jax.jit, static_argnames=("k", "n_out", "cap", "interpret"))
+@partial(jax.jit, static_argnames=("k", "n_out", "cap", "interpret", "mxu"))
 def two_pass_search_padded(
     y3: jax.Array,       # (Rp, C, cols) from _pad_views (cacheable)
     n2: jax.Array,       # (Rp, nblk * L) from _pad_views
@@ -212,6 +269,7 @@ def two_pass_search_padded(
     n_out: int,
     cap: Optional[int] = None,
     interpret: bool = False,
+    mxu: str = "bf16x3",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:func:`two_pass_search` on pre-padded views (the padding copies cost
     ~2 full-array passes; engines cache them next to the window norms).
@@ -237,7 +295,7 @@ def two_pass_search_padded(
 
     # ---- pass 1: fused score + block minima (Pallas) -------------------
     bmin = score_blockmin(y3.reshape(Rp, C * cols), n2, g,
-                          interpret=interpret)
+                          interpret=interpret, mxu=mxu)
     bmin_flat = bmin.reshape(B, Rp * nblk)   # flat block id = r * nblk + j
 
     if cap is None:

@@ -267,32 +267,77 @@ def _extract_paths(
     return paths, idces
 
 
+_L_EXT = 128  # extraction block width (one lane tile)
+
+
 def _rows_window_slice(
     y: jax.Array,        # (R, C, T)
     traj: jax.Array,     # (N,) winner trajectory per output row
     t0: jax.Array,       # (N,) window start per output row
     w_extract: int,
 ) -> jax.Array:          # (N, C, w_extract)
-    """Window extraction: whole-ROW gather (contiguous last dim,
-    DMA-friendly) + a vmapped ``dynamic_slice`` per winner — bit-exact and
-    ~4.5x faster than the two-index window gather, which scalarises on TPU
-    (87 -> 19 ms device time at N = 10^4, w = 378).
+    """Window extraction, bit-exact, by one of two strategies:
 
-    The (N, C, T) row buffer is T/w times larger than the windows, so
-    winners stream in chunks sized against the device memory budget (a
-    B=64 x k=10^4 extraction would otherwise materialise ~10 GB)."""
+    * ``w_extract <= 128``: flat single-axis row gather of the two
+      128-sample blocks covering each window, then an exact one-hot shift
+      matmul to align each segment to its in-block offset (every output
+      element is ``x * 1.0`` plus zeros — still bit-exact). 3.5x faster
+      than the row-gather strategy at the backtest config (112.6 -> 31.9 ms
+      for N = 65536, w_extract = 40): the per-winner ``dynamic_slice``
+      scalarises on TPU while the one-hot shift rides the MXU, and the
+      gather touches 2 blocks instead of a whole trajectory row.
+    * wider windows: whole-ROW gather (contiguous last dim, DMA-friendly)
+      + a vmapped ``dynamic_slice`` per winner — ~4.5x faster than the
+      two-index window gather, which scalarises on TPU (87 -> 19 ms device
+      time at N = 10^4, w = 378). The one-hot operator scales as
+      ``w_extract**2`` per winner and loses in this regime.
+
+    Either way winners stream in chunks sized against the device memory
+    budget (a B=64 x k=10^4 row-buffer extraction would otherwise
+    materialise ~10 GB)."""
     R, C, T = y.shape
     n = traj.shape[0]
 
-    def take(tr, ss):
-        rows = y[tr]                                           # (m, C, T)
-        return jax.vmap(
-            lambda row, s: jax.lax.dynamic_slice(row, (0, s), (C, w_extract))
-        )(rows, ss)
+    if w_extract <= _L_EXT:
+        Lb = _L_EXT
+        nbT = -(-T // Lb)
+        y2 = y if T == nbT * Lb else jnp.pad(
+            y, ((0, 0), (0, 0), (0, nbT * Lb - T)))
+        yf = y2.reshape(R * C * nbT, Lb)
+        # per-winner scratch: two gathered blocks + the (2L, w) one-hot
+        row_bytes = 8 * Lb * (C + w_extract)
 
-    if n * C * T * 4 <= _memory_budget():
+        def take(tr, ss):
+            b0 = ss // Lb
+            o = ss % Lb
+            base = (tr[:, None] * C
+                    + jnp.arange(C, dtype=tr.dtype)) * nbT     # (m, C)
+            # the 2nd block is only read when the window crosses the block
+            # boundary (o + w_extract > Lb), in which case it is in range;
+            # clamp keeps the gather in-bounds otherwise
+            b1 = jnp.minimum(b0 + 1, nbT - 1)
+            seg = jnp.concatenate(
+                [yf[(base + b0[:, None]).reshape(-1)].reshape(-1, C, Lb),
+                 yf[(base + b1[:, None]).reshape(-1)].reshape(-1, C, Lb)],
+                axis=-1,
+            )                                                  # (m, C, 2L)
+            ii = jnp.arange(2 * Lb, dtype=ss.dtype)[None, :, None]
+            jj = jnp.arange(w_extract, dtype=ss.dtype)[None, None, :]
+            sel = (ii == o[:, None, None] + jj).astype(y.dtype)
+            return jnp.einsum("mcs,msj->mcj", seg, sel)
+    else:
+        row_bytes = C * T * 4
+
+        def take(tr, ss):
+            rows = y[tr]                                       # (m, C, T)
+            return jax.vmap(
+                lambda row, s: jax.lax.dynamic_slice(
+                    row, (0, s), (C, w_extract))
+            )(rows, ss)
+
+    if n * row_bytes <= _memory_budget():
         return take(traj, t0)
-    n_chunks = -(-(n * C * T * 4) // _memory_budget())
+    n_chunks = -(-(n * row_bytes) // _memory_budget())
     chunk = -(-n // n_chunks)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n

@@ -56,7 +56,14 @@ def check_two_pass(y, g, norms, n_out, k, rtol=1e-4):
     np.testing.assert_allclose(got_at, np.asarray(vals), rtol=rtol, atol=1e-6)
 
 
-def test_blockmin_matches_oracle(problem):
+@pytest.mark.parametrize("mxu,rtol,atol", [
+    # HIGHEST = f32-faithful 6-pass emulation: tight
+    ("highest", 1e-5, 1e-6),
+    # bf16x3 = manual 3-pass HIGH (the default): same error class as the
+    # fused XLA path's PRECISION_SELECT — ~2^-18-relative split residuals
+    ("bf16x3", 1e-4, 2e-5),
+])
+def test_blockmin_matches_oracle(problem, mxu, rtol, atol):
     y, g, norms, n_out = problem
     w = g.shape[-1]
     y3, n2 = _pad_views(jnp.asarray(y), jnp.asarray(norms), n_out, w)
@@ -64,13 +71,13 @@ def test_blockmin_matches_oracle(problem):
     Rp, C, cols = y3.shape
     bmin = np.asarray(
         score_blockmin(y3.reshape(Rp, C * cols), n2, jnp.asarray(g),
-                       interpret=True)
+                       interpret=True, mxu=mxu)
     )  # (B, R, nblk)
     s = oracle_scores(y, g, norms, n_out)
     s_pad = np.pad(s, ((0, 0), (0, 0), (0, nblk * L - n_out)),
                    constant_values=np.inf)
     want = s_pad.reshape(s.shape[0], s.shape[1], nblk, L).min(axis=-1)
-    np.testing.assert_allclose(bmin, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(bmin, want, rtol=rtol, atol=atol)
 
 
 def test_two_pass_exact(problem):
