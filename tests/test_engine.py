@@ -508,3 +508,36 @@ class TestShadowShardedRows:
         d0, p0, i0 = mk(dataset).shadow(ctx, k=4)
         np.testing.assert_array_equal(i, i0)
         np.testing.assert_array_equal(d, d0)
+
+
+class TestRowsWindowSlice:
+    """Direct unit tests of the extraction kernel: both strategies
+    (one-hot shift for w_extract <= 128, whole-row gather beyond) must be
+    bit-exact against numpy slicing, including odd T (block padding), the
+    last addressable start, and block-boundary-crossing windows."""
+
+    @pytest.mark.parametrize("C,T,we", [
+        (1, 256, 40),     # aligned T, one-hot strategy
+        (1, 250, 40),     # T % 128 != 0 -> padded block view
+        (2, 300, 128),    # multi-channel, widest one-hot window
+        (1, 500, 200),    # wide window -> row-gather strategy
+    ])
+    def test_bit_exact(self, rng, C, T, we):
+        from shadowing_tpu.shadow.engine import _rows_window_slice
+
+        R = 12
+        y = rng.normal(size=(R, C, T)).astype(np.float32)
+        n_start = T - we + 1
+        # include the extreme starts and boundary-crossers explicitly
+        t0 = np.concatenate([
+            np.array([0, n_start - 1, max(0, 128 - we + 1), 127]),
+            rng.integers(0, n_start, size=29),
+        ]).astype(np.int32)
+        t0 = np.clip(t0, 0, n_start - 1)
+        traj = rng.integers(0, R, size=t0.shape[0]).astype(np.int32)
+        import jax.numpy as jnp
+
+        got = np.asarray(_rows_window_slice(
+            jnp.asarray(y), jnp.asarray(traj), jnp.asarray(t0), we))
+        want = np.stack([y[r, :, s:s + we] for r, s in zip(traj, t0)])
+        np.testing.assert_array_equal(got, want)
