@@ -324,7 +324,12 @@ def _rows_window_slice(
             ii = jnp.arange(2 * Lb, dtype=ss.dtype)[None, :, None]
             jj = jnp.arange(w_extract, dtype=ss.dtype)[None, None, :]
             sel = (ii == o[:, None, None] + jj).astype(y.dtype)
-            return jnp.einsum("mcs,msj->mcj", seg, sel)
+            # HIGHEST is required for BIT-exactness on TPU: DEFAULT truncates
+            # the f32 operands to one bf16 pass, so `x * 1.0` would return
+            # bf16-rounded path values. HIGHEST's 3-term bf16 decomposition
+            # reproduces f32 exactly (x1+x2+x3 = x; sel is exact in bf16).
+            return jnp.einsum("mcs,msj->mcj", seg, sel,
+                              precision=jax.lax.Precision.HIGHEST)
     else:
         row_bytes = C * T * 4
 
