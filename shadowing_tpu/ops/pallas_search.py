@@ -63,6 +63,15 @@ def _seg_blocks(w: int) -> int:
     return -(-(L + w - 1) // L)
 
 
+def padded_rows(R: int, C: int, n_out: int, w: int) -> int:
+    """Row count of the :func:`_pad_views` output (R padded to the grid
+    tile chosen for this geometry)."""
+    nblk = -(-n_out // L)
+    m = _seg_blocks(w)
+    tr = _rows_per_tile(C * (nblk + m - 1) * L)
+    return -(-R // tr) * tr
+
+
 def padded_id_space(R: int, C: int, n_out: int, w: int) -> int:
     """Size of pass-2's *padded* flat id space ``Rp * nblk * L``.
 
@@ -72,10 +81,7 @@ def padded_id_space(R: int, C: int, n_out: int, w: int) -> int:
     (``two_pass_search_padded`` enforces this, the engine's ``_pallas_ok``
     falls back to the scan path instead of erroring)."""
     nblk = -(-n_out // L)
-    m = _seg_blocks(w)
-    tr = _rows_per_tile(C * (nblk + m - 1) * L)
-    rp = -(-R // tr) * tr
-    return rp * nblk * L
+    return padded_rows(R, C, n_out, w) * nblk * L
 
 
 def _rows_per_tile(t_cols: int) -> int:
@@ -297,6 +303,34 @@ def two_pass_search_padded(
     bmin = score_blockmin(y3.reshape(Rp, C * cols), n2, g,
                           interpret=interpret, mxu=mxu)
     bmin_flat = bmin.reshape(B, Rp * nblk)   # flat block id = r * nblk + j
+    return _pass2_from_bmin(bmin_flat, y3, n2, g, k=k, n_out=n_out, cap=cap)
+
+
+@partial(jax.jit, static_argnames=("k", "n_out", "cap", "block_id_order"),
+         inline=True)
+def _pass2_from_bmin(
+    bmin_flat: jax.Array,  # (B, Rp * nblk) block minima
+    y3: jax.Array,
+    n2: jax.Array,
+    g: jax.Array,
+    k: int,
+    n_out: int,
+    cap: Optional[int] = None,
+    block_id_order: str = "rj",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pass 2 shared by every pass-1 producer (banded-Toeplitz kernel and
+    the factored-E kernel): global block selection, exact full-precision
+    rescore of the candidate blocks, certified final top-k.
+
+    ``block_id_order`` names the flat block-id convention of ``bmin_flat``:
+    ``"rj"`` (Toeplitz layout, id = r * nblk + j) or ``"jr"`` (factored
+    layout, id = j * Rp + r — selecting there and converting after saves
+    transposing the whole minima tensor; selection is order-agnostic, only
+    the candidate order below must be canonical)."""
+    B, C, w = g.shape
+    m = _seg_blocks(w)
+    Rp, _, cols = y3.shape
+    nblk = n2.shape[1] // L
 
     if cap is None:
         # at most k - 1 blocks can hold a value strictly below the k-th
@@ -314,6 +348,8 @@ def two_pass_search_padded(
         bmin_flat, cap, block=L, cap=cap + 128
     )
     mu_cap = jnp.where(cap < Rp * nblk, mu_sel[:, -1], jnp.inf)   # (B,)
+    if block_id_order == "jr":
+        bidx = (bidx % Rp) * nblk + bidx // Rp           # -> r * nblk + j
     bidx = jnp.sort(bidx, axis=-1)  # flat order: ties match the sort oracle
     r = bidx // nblk                                     # (B, cap)
     j = bidx % nblk

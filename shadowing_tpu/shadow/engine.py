@@ -32,6 +32,7 @@ parity testing; ``method="fused"`` is the production path; the default
 from __future__ import annotations
 
 import functools
+import os
 from functools import partial
 from pathlib import Path
 from typing import Callable, Optional, Tuple, Union
@@ -43,7 +44,7 @@ import numpy as np
 from shadowing_tpu.array_types import Array, as_jax_f32, as_numpy, dim_bct
 from shadowing_tpu.data.dataset import TimeSeriesDataset
 from shadowing_tpu.ops import topk as topk_ops
-from shadowing_tpu.ops import pallas_search
+from shadowing_tpu.ops import pallas_factored, pallas_search
 from shadowing_tpu.ops.sliding import sliding_dot
 from shadowing_tpu.shadow.context import ContextManager, PredictionContext
 from shadowing_tpu.shadow.distance import PathDistance
@@ -249,19 +250,20 @@ def _prep_context(x_context: jax.Array, kernel: jax.Array):
 # extraction + exact rescore
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_out", "w_extract"))
+@partial(jax.jit, static_argnames=("n_out", "w_extract", "budget"))
 def _extract_paths(
     y: jax.Array,            # (R, C, T)
     flat_idx: jax.Array,     # (B, k) = traj * n_out + t
     n_out: int,
     w_extract: int,
+    budget: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     R, C, T = y.shape
     traj = flat_idx // n_out
     t0 = flat_idx % n_out
     B, k = flat_idx.shape
     paths = _rows_window_slice(y, traj.reshape(-1),
-                               t0.reshape(-1), w_extract)
+                               t0.reshape(-1), w_extract, budget=budget)
     paths = paths.reshape(B, k, C, w_extract)
     idces = jnp.stack([traj, t0], axis=-1).astype(jnp.int32)
     return paths, idces
@@ -275,6 +277,7 @@ def _rows_window_slice(
     traj: jax.Array,     # (N,) winner trajectory per output row
     t0: jax.Array,       # (N,) window start per output row
     w_extract: int,
+    budget: Optional[int] = None,
 ) -> jax.Array:          # (N, C, w_extract)
     """Window extraction, bit-exact, by one of two strategies:
 
@@ -304,8 +307,17 @@ def _rows_window_slice(
         y2 = y if T == nbT * Lb else jnp.pad(
             y, ((0, 0), (0, 0), (0, nbT * Lb - T)))
         yf = y2.reshape(R * C * nbT, Lb)
-        # per-winner scratch: two gathered blocks + the (2L, w) one-hot
-        row_bytes = 8 * Lb * (C + w_extract)
+        # the shift decomposes o = 8*(o>>3) + (o&7): a coarse one-hot over
+        # 8-sample groups then a fine one-hot over ng*8 samples. The
+        # single-stage (2L, w) one-hot operator dominated extraction HBM
+        # traffic (2.75 GB at N=65536, w=41); the two-stage operators move
+        # ~4x less (59 MB + 0.6 GB there). Both matmuls stay one-hot =>
+        # bit-exact under HIGHEST (DEFAULT would truncate the f32 data to
+        # one bf16 pass; HIGHEST's 3-term bf16 split reproduces f32
+        # exactly, sel being exact in bf16).
+        ng = -(-(7 + w_extract) // 8)   # 8-groups covering any (o&7) + w
+        row_bytes = 4 * (4 * Lb * C + 2 * (32 * ng + 8 * C * ng
+                                           + 2 * ng * 8 * w_extract))
 
         def take(tr, ss):
             b0 = ss // Lb
@@ -321,14 +333,17 @@ def _rows_window_slice(
                  yf[(base + b1[:, None]).reshape(-1)].reshape(-1, C, Lb)],
                 axis=-1,
             )                                                  # (m, C, 2L)
-            ii = jnp.arange(2 * Lb, dtype=ss.dtype)[None, :, None]
+            seg8 = seg.reshape(-1, C, 2 * Lb // 8, 8)
+            gg = jnp.arange(2 * Lb // 8, dtype=ss.dtype)[None, :, None]
+            hh = jnp.arange(ng, dtype=ss.dtype)[None, None, :]
+            sel1 = (gg == (o >> 3)[:, None, None] + hh).astype(y.dtype)
+            mid = jnp.einsum("mcgs,mgh->mchs", seg8, sel1,
+                             precision=jax.lax.Precision.HIGHEST)
+            mid = mid.reshape(-1, C, ng * 8)                   # (m, C, 8ng)
+            ii = jnp.arange(ng * 8, dtype=ss.dtype)[None, :, None]
             jj = jnp.arange(w_extract, dtype=ss.dtype)[None, None, :]
-            sel = (ii == o[:, None, None] + jj).astype(y.dtype)
-            # HIGHEST is required for BIT-exactness on TPU: DEFAULT truncates
-            # the f32 operands to one bf16 pass, so `x * 1.0` would return
-            # bf16-rounded path values. HIGHEST's 3-term bf16 decomposition
-            # reproduces f32 exactly (x1+x2+x3 = x; sel is exact in bf16).
-            return jnp.einsum("mcs,msj->mcj", seg, sel,
+            sel2 = (ii == (o & 7)[:, None, None] + jj).astype(y.dtype)
+            return jnp.einsum("mcs,msj->mcj", mid, sel2,
                               precision=jax.lax.Precision.HIGHEST)
     else:
         row_bytes = C * T * 4
@@ -340,9 +355,11 @@ def _rows_window_slice(
                     row, (0, s), (C, w_extract))
             )(rows, ss)
 
-    if n * row_bytes <= _memory_budget():
+    if budget is None:
+        budget = _memory_budget()
+    if n * row_bytes <= budget:
         return take(traj, t0)
-    n_chunks = -(-(n * row_bytes) // _memory_budget())
+    n_chunks = -(-(n * row_bytes) // budget)
     chunk = -(-n // n_chunks)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
@@ -370,7 +387,7 @@ def _exact_rescore(
 
 
 @partial(jax.jit, static_argnames=("n_out", "w_extract", "distance",
-                                   "select_in"))
+                                   "select_in", "budget"))
 def _finalize_shadow(
     y: jax.Array,
     flat_idx: jax.Array,
@@ -380,6 +397,7 @@ def _finalize_shadow(
     w_extract: int,
     distance: PathDistance,
     select_in,
+    budget: Optional[int] = None,
 ):
     """Extraction + exact rescore + ascending sort, fused into one dispatch.
 
@@ -390,7 +408,7 @@ def _finalize_shadow(
     windows of a 32768x4096 search tied at rank 905)."""
     flat_idx = jnp.sort(flat_idx, axis=-1)
     paths, idces = _extract_paths(y, flat_idx, n_out=n_out,
-                                  w_extract=w_extract)
+                                  w_extract=w_extract, budget=budget)
     in_paths = select_in(paths)
     dists = _exact_rescore(x_emb, in_paths, kernel, distance=distance)
     order = jnp.argsort(dists, axis=-1)
@@ -483,6 +501,7 @@ class PathShadowing:
         self._y: Optional[jax.Array] = None       # device dataset (R', C, T)
         self._norms: Optional[jax.Array] = None   # cached window norms
         self._padded = None                       # cached pallas pad views
+        self._factored = None                     # cached (E9, n4) responses
         self._R: Optional[int] = n_trajectories   # true trajectory count
 
     # -- device state ----------------------------------------------------
@@ -565,6 +584,56 @@ class PathShadowing:
         return pallas_search.padded_id_space(
             R, kernel.shape[1], n_out, kernel.shape[-1]
         ) < np.iinfo(np.int32).max
+
+    #: context batches at least this large route pass-1 through the
+    #: factored-E kernel (its cost is ~flat in B while the Toeplitz
+    #: kernel's is linear; measured crossover ~8 contexts on v5e)
+    FACTORED_MIN_B = 8
+
+    def _factored_ok(self, kernel: np.ndarray, n_out: int, B: int) -> bool:
+        """Whether pass-1 should use the precomputed embedding responses
+        (:mod:`shadowing_tpu.ops.pallas_factored`): enough contexts to beat
+        the per-context Toeplitz kernel, an embedding narrow enough for the
+        packed K tile, rows aligned to the factored tile, and an E that
+        fits next to the dataset in device memory."""
+        if os.environ.get("SHADOWING_TPU_NO_FACTORED", "0") not in ("", "0"):
+            return False
+        d, C, w = kernel.shape
+        if (
+            B < self.FACTORED_MIN_B
+            or self.mesh is not None
+            or d > pallas_factored.MAX_DIM
+        ):
+            return False
+        R = self.y.shape[0]
+        if pallas_search.padded_rows(R, C, n_out, w) % pallas_factored.TR:
+            return False
+        # memory gate: E9 + the other residents (dataset + pad views,
+        # ~3x the dataset) + >= 2 GB working headroom must fit the device
+        # (_memory_budget() is a quarter of the device limit; extraction
+        # scratch shrinks to the leftover via _scratch_budget). The 12 GB
+        # backtest-config E9 fits a 16 GB v5e this way — verified live.
+        resident = 3 * R * C * dim_bct(self.dataset).shape[-1] * 4
+        limit = 4 * _memory_budget()
+        return (pallas_factored.e9_bytes(R, n_out, d)
+                <= limit - resident - (2 << 30))
+
+    def _scratch_budget(self) -> Optional[int]:
+        """Byte budget for extraction scratch (the one-hot shift operators
+        / row buffers): the default quarter-device budget, except when the
+        factored responses (up to ~12 GB) are resident — then whatever
+        headroom they leave (the default budget would OOM; observed on v5e
+        at the backtest config)."""
+        if self._factored is None:
+            return None
+        resident = sum(a.nbytes for a in self._factored)
+        if self._y is not None:
+            resident += self._y.nbytes
+        if self._padded is not None:
+            resident += sum(a.nbytes for a in self._padded)
+        limit = 4 * _memory_budget()
+        return int(max(256 << 20,
+                       min(_memory_budget(), limit - resident - (2 << 30))))
 
     @staticmethod
     def _pallas_interpret() -> bool:
@@ -783,10 +852,24 @@ class PathShadowing:
                         y, self.window_norms(), n_out, kernel.shape[-1]
                     )
                 y3, n2 = self._padded
-                _, flat_idx, ok = pallas_search.two_pass_search_padded(
-                    y3, n2, g, k=k, n_out=n_out, cap=tournament_cap,
-                    interpret=self._pallas_interpret(),
-                )
+                if self._factored_ok(kernel, n_out, B):
+                    if self._factored is None:
+                        # embedding responses E: built once per engine,
+                        # amortised over every multi-context search
+                        self._factored = pallas_factored.build_factored(
+                            y3, n2, jnp.asarray(kernel), n_out
+                        )
+                    E9, n4 = self._factored
+                    _, flat_idx, ok = pallas_factored.two_pass_search_factored(
+                        E9, n4, y3, n2, g, x_emb, k=k, n_out=n_out,
+                        cap=tournament_cap,
+                        interpret=self._pallas_interpret(),
+                    )
+                else:
+                    _, flat_idx, ok = pallas_search.two_pass_search_padded(
+                        y3, n2, g, k=k, n_out=n_out, cap=tournament_cap,
+                        interpret=self._pallas_interpret(),
+                    )
             else:
                 _, flat_idx, ok = _fused_search(
                     y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,
@@ -808,10 +891,11 @@ class PathShadowing:
 
         w_extract = x_context.shape[-1] + self.context.get_out_times()
         kernel_raw = jnp.asarray(self.embedding.kernel)
+        budget = self._scratch_budget()
         fin = _finalize_shadow(
             y, flat_idx, x_emb, kernel_raw,
             n_out=n_out, w_extract=w_extract, distance=self.distance,
-            select_in=self.context.select_in_context,
+            select_in=self.context.select_in_context, budget=budget,
         )
 
         def redo(ok_host):
@@ -833,7 +917,7 @@ class PathShadowing:
             return _finalize_shadow(
                 y, jnp.asarray(fi), x_emb, kernel_raw,
                 n_out=n_out, w_extract=w_extract, distance=self.distance,
-                select_in=self.context.select_in_context,
+                select_in=self.context.select_in_context, budget=budget,
             )
 
         return (*fin, ok, redo)

@@ -1,0 +1,157 @@
+"""Factored-E pass-1 (interpret mode on CPU) vs the XLA oracle and the
+Toeplitz pallas path — exactness, certification, and engine routing."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadowing_tpu import Identity, PathShadowing, PredictionContext, RelativeMSE
+from shadowing_tpu.ops.pallas_factored import (
+    TR,
+    build_factored,
+    e9_bytes,
+    score_blockmin_factored,
+    two_pass_search_factored,
+)
+from shadowing_tpu.ops.pallas_search import L, _pad_views
+from shadowing_tpu.ops.sliding import sliding_dot
+
+
+def make_problem(rng, R=256, T=700, w=24, d=12, B=9, C=1):
+    """Embedding bank + contexts: g = x_emb @ kernel ties the two pass-1
+    formulations to the same combined filters."""
+    y = rng.normal(0, 0.02, size=(R, C, T)).astype(np.float32)
+    kernel = rng.normal(size=(d, C, w)).astype(np.float32)
+    x_emb = rng.normal(size=(B, d)).astype(np.float32)
+    g = np.einsum("bd,dcw->bcw", x_emb, kernel).astype(np.float32)
+    n_out = T - w + 1
+    ones = np.ones((1, C, w), np.float32)
+    norms = np.asarray(
+        sliding_dot(jnp.asarray(y**2), jnp.asarray(ones), n_out=n_out)
+    )[:, 0]
+    return y, kernel, x_emb, g, norms, n_out
+
+
+def oracle_scores(y, g, norms, n_out):
+    cross = np.asarray(
+        sliding_dot(jnp.asarray(y), jnp.asarray(g), n_out=n_out)
+    )
+    return norms[None] - 2 * np.moveaxis(cross, 1, 0)    # (B, R, n_out)
+
+
+def build(y, kernel, norms, n_out, w):
+    y3, n2 = _pad_views(jnp.asarray(y), jnp.asarray(norms), n_out, w)
+    E9, n4 = build_factored(y3, n2, jnp.asarray(kernel), n_out)
+    return y3, n2, E9, n4
+
+
+def check_factored(rng_problem, k, rtol=1e-4):
+    y, kernel, x_emb, g, norms, n_out = rng_problem
+    w = kernel.shape[-1]
+    y3, n2, E9, n4 = build(y, kernel, norms, n_out, w)
+    vals, idx, ok = two_pass_search_factored(
+        E9, n4, y3, n2, jnp.asarray(g), jnp.asarray(x_emb),
+        k=k, n_out=n_out, interpret=True,
+    )
+    assert np.asarray(ok).all()
+    s = oracle_scores(y, g, norms, n_out)
+    flat = s.reshape(s.shape[0], -1)
+    order = np.argsort(flat, axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(flat, order, 1), rtol=rtol,
+        atol=1e-6,
+    )
+    got_at = np.take_along_axis(flat, np.asarray(idx, np.int64), 1)
+    np.testing.assert_allclose(got_at, np.asarray(vals), rtol=rtol, atol=1e-6)
+
+
+def test_blockmin_matches_oracle(rng):
+    y, kernel, x_emb, g, norms, n_out = make_problem(rng)
+    w = kernel.shape[-1]
+    y3, n2, E9, n4 = build(y, kernel, norms, n_out, w)
+    Rp = y3.shape[0]
+    assert Rp % TR == 0
+    nblk = n2.shape[1] // L
+    bmin = np.asarray(
+        score_blockmin_factored(E9, n4, jnp.asarray(x_emb), interpret=True)
+    ).transpose(0, 2, 1)                                 # -> (B, Rp, nblk)
+    s = oracle_scores(y, g, norms, n_out)
+    s_pad = np.pad(s, ((0, 0), (0, 0), (0, nblk * L - n_out)),
+                   constant_values=np.inf)
+    want = s_pad.reshape(s.shape[0], s.shape[1], nblk, L).min(axis=-1)
+    # E hi/lo split + two bf16 dots: same error class as the Toeplitz
+    # kernel's bf16x3 (~2^-18-relative residuals)
+    np.testing.assert_allclose(bmin[:, : s.shape[1]], want,
+                               rtol=1e-4, atol=2e-5)
+    # padded rows fold +inf norms
+    assert np.isinf(bmin[:, s.shape[1]:]).all() or (
+        bmin[:, s.shape[1]:] > 1e20).all()
+
+
+def test_two_pass_factored_exact(rng):
+    check_factored(make_problem(rng), k=64)
+
+
+def test_two_pass_factored_multichannel(rng):
+    check_factored(make_problem(rng, T=500, w=40, C=3, d=10, B=8), k=48)
+
+
+def test_two_pass_factored_uneven(rng):
+    """R not a tile multiple and n_out not a block multiple: padded slots
+    must never win."""
+    y, kernel, x_emb, g, norms, n_out = make_problem(
+        rng, R=293, T=400, w=21, d=7, B=8
+    )
+    y3, n2, E9, n4 = build(y, kernel, norms, n_out, kernel.shape[-1])
+    vals, idx, ok = two_pass_search_factored(
+        E9, n4, y3, n2, jnp.asarray(g), jnp.asarray(x_emb),
+        k=32, n_out=n_out, interpret=True,
+    )
+    assert np.asarray(ok).all()
+    traj = np.asarray(idx) // n_out
+    t = np.asarray(idx) % n_out
+    assert (traj < 293).all() and (t < n_out).all()
+    assert np.isfinite(np.asarray(vals)).all()
+
+
+def test_engine_routes_and_matches(rng, monkeypatch):
+    """Engine-level: B >= FACTORED_MIN_B routes pass-1 through the factored
+    kernel and returns results array-identical to fused and direct."""
+    monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+    dataset = rng.normal(0, 0.02, size=(48, 1, 300)).astype(np.float32)
+    dataset[11] = dataset[2]                 # force in-k distance ties
+    starts = rng.integers(0, 200, size=9)
+    ctx = np.stack([dataset[i % 48, :, s : s + 24]
+                    for i, s in enumerate(starts)])
+    obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                        PredictionContext(horizon=16))
+    d_p, p_p, i_p = obj.shadow(ctx, k=40, method="pallas")
+    assert obj._factored is not None, "factored cache not built at B=9"
+    d_f, p_f, i_f = obj.shadow(ctx, k=40, method="fused")
+    d_d, p_d, i_d = obj.shadow(ctx, k=40, method="direct")
+    np.testing.assert_array_equal(i_p, i_f)
+    np.testing.assert_array_equal(i_p, i_d)
+    np.testing.assert_array_equal(d_p, d_f)
+    np.testing.assert_array_equal(d_p, d_d)
+    np.testing.assert_array_equal(p_p, p_f)
+
+    # single-context searches keep the per-context Toeplitz kernel
+    obj2 = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                         PredictionContext(horizon=16))
+    obj2.shadow(ctx[:1], k=40, method="pallas")
+    assert obj2._factored is None
+
+
+def test_engine_kill_switch(rng, monkeypatch):
+    monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SHADOWING_TPU_NO_FACTORED", "1")
+    dataset = rng.normal(0, 0.02, size=(48, 1, 300)).astype(np.float32)
+    ctx = np.repeat(dataset[[2], :, 30:54], 9, axis=0)
+    obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                        PredictionContext(horizon=16))
+    obj.shadow(ctx, k=8, method="pallas")
+    assert obj._factored is None
+
+
+def test_e9_bytes():
+    # backtest config: 32768 rows, ~3.8k starts, d=20 -> ~12 GB
+    assert 10 << 30 < e9_bytes(32768, 3825, 20) < 14 << 30
