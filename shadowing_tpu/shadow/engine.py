@@ -282,13 +282,14 @@ def _rows_window_slice(
     """Window extraction, bit-exact, by one of two strategies:
 
     * ``w_extract <= 128``: flat single-axis row gather of the two
-      128-sample blocks covering each window, then an exact one-hot shift
-      matmul to align each segment to its in-block offset (every output
-      element is ``x * 1.0`` plus zeros — still bit-exact). 3.5x faster
-      than the row-gather strategy at the backtest config (112.6 -> 31.9 ms
-      for N = 65536, w_extract = 40): the per-winner ``dynamic_slice``
-      scalarises on TPU while the one-hot shift rides the MXU, and the
-      gather touches 2 blocks instead of a whole trajectory row.
+      128-sample blocks covering each window, then an exact TWO-STAGE
+      one-hot shift (coarse 8-sample-group select, then fine in-group
+      shift) to align each segment to its in-block offset (every output
+      element is ``x * 1.0`` plus zeros — still bit-exact). The per-winner
+      ``dynamic_slice`` alternative scalarises on TPU (112.6 vs 31.9 ms at
+      N = 65536, w = 40, round 3) while one-hot shifts ride the MXU; the
+      two-stage split then cuts the dominant operator HBM traffic ~4x vs
+      the single (2L, w) operator (2.75 GB -> ~0.66 GB at that config).
     * wider windows: whole-ROW gather (contiguous last dim, DMA-friendly)
       + a vmapped ``dynamic_slice`` per winner — ~4.5x faster than the
       two-index window gather, which scalarises on TPU (87 -> 19 ms device
