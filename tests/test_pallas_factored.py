@@ -141,6 +141,23 @@ def test_engine_routes_and_matches(rng, monkeypatch):
     assert obj2._factored is None
 
 
+def test_engine_imputation_context(rng, monkeypatch):
+    """Context-adjusted plans (gap-padded kernel taps) build E from the SAME
+    plan kernel as the combined filters — factored must match direct."""
+    from shadowing_tpu import ImputationContext
+
+    monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+    dataset = rng.normal(0, 0.02, size=(40, 1, 280)).astype(np.float32)
+    ctx = np.stack([dataset[i, :, 50 : 50 + 24] for i in range(8)])
+    obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                        ImputationContext((10, 6, 14)))
+    d_p, p_p, i_p = obj.shadow(ctx, k=24, method="pallas")
+    assert obj._factored is not None
+    d_d, p_d, i_d = obj.shadow(ctx, k=24, method="direct")
+    np.testing.assert_array_equal(i_p, i_d)
+    np.testing.assert_array_equal(d_p, d_d)
+
+
 def test_engine_kill_switch(rng, monkeypatch):
     monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("SHADOWING_TPU_NO_FACTORED", "1")
