@@ -139,18 +139,26 @@ class TestEngineMesh:
         ctx = rng.normal(0, 0.02, size=(B, 1, w)).astype(np.float32)
         return dataset, ctx
 
-    @pytest.mark.parametrize("n_dev", [1, 8])
-    def test_shadow_matches_single_device(self, rng, n_dev):
+    @pytest.mark.parametrize("n_dev,B", [(1, 3), (8, 3), (8, 9)])
+    def test_shadow_matches_single_device(self, rng, n_dev, B, monkeypatch):
         """Mesh-size invariance through the public API, with an R that does
-        NOT divide the mesh (padding path)."""
+        NOT divide the mesh (padding path). The B=9 case makes the
+        single-device side route pass-1 through the factored-E kernel
+        (mesh mode never does) — factored vs mesh must still be identical."""
         from shadowing_tpu import PathShadowing, PredictionContext
 
-        dataset, ctx = self._problem(rng)  # R=100: uneven over 8
+        if B >= PathShadowing.FACTORED_MIN_B:
+            # enable the (interpreted) pallas route so auto picks factored
+            monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+        dataset, ctx = self._problem(rng, B=B)  # R=100: uneven over 8
         mk = lambda mesh: PathShadowing(
             Identity(16), RelativeMSE(), dataset,
             PredictionContext(horizon=8), mesh=mesh,
         )
-        d0, p0, i0 = mk(None).shadow(ctx, k=24)
+        single = mk(None)
+        d0, p0, i0 = single.shadow(ctx, k=24)
+        if B >= PathShadowing.FACTORED_MIN_B:
+            assert single._factored is not None
         dm, pm, im = mk(n_dev).shadow(ctx, k=24)
         np.testing.assert_array_equal(im, i0)
         np.testing.assert_array_equal(dm, d0)
