@@ -74,12 +74,11 @@ def e9_bytes(R: int, n_out: int, d: int) -> int:
     return rp * nblk * L * 2 * _d8(d) * 2
 
 
-@partial(jax.jit, static_argnames=("n_out",))
+@jax.jit
 def build_factored(
     y3: jax.Array,       # (Rp, C, cols) pallas pad view (rows % TR == 0)
     n2: jax.Array,       # (Rp, nblk * L) +inf-padded window norms
     kernel: jax.Array,   # (d, C, w) embedding bank (the engine's plan kernel)
-    n_out: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Embedding responses in the kernel-ready blocked layout.
 
@@ -147,7 +146,7 @@ _B_KERNEL = 128
 @partial(jax.jit, static_argnames=("interpret",))
 def score_blockmin_factored(
     E9: jax.Array,       # (NT, nblk, 2 * d8, L * TR) bf16
-    n4: jax.Array,       # (NT, nblk, L * TR) f32
+    n4: jax.Array,       # (NT, nblk, 1, L * TR) f32
     x_emb: jax.Array,    # (B, d) f32 context embeddings
     interpret: bool = False,
 ) -> jax.Array:          # (B, nblk, Rp) block minima, j-major layout

@@ -858,7 +858,7 @@ class PathShadowing:
                         # embedding responses E: built once per engine,
                         # amortised over every multi-context search
                         self._factored = pallas_factored.build_factored(
-                            y3, n2, jnp.asarray(kernel), n_out
+                            y3, n2, jnp.asarray(kernel)
                         )
                     E9, n4 = self._factored
                     _, flat_idx, ok = pallas_factored.two_pass_search_factored(

@@ -40,7 +40,7 @@ def oracle_scores(y, g, norms, n_out):
 
 def build(y, kernel, norms, n_out, w):
     y3, n2 = _pad_views(jnp.asarray(y), jnp.asarray(norms), n_out, w)
-    E9, n4 = build_factored(y3, n2, jnp.asarray(kernel), n_out)
+    E9, n4 = build_factored(y3, n2, jnp.asarray(kernel))
     return y3, n2, E9, n4
 
 
