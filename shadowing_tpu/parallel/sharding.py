@@ -268,6 +268,76 @@ def sharded_pallas_search_padded(
     )(y3, n2)
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_build_factored(
+    y3: jax.Array,         # (Rp, C, cols) from sharded_pad_views, sharded
+    n2: jax.Array,         # (Rp, nblk * L) from sharded_pad_views, sharded
+    kernel: jax.Array,     # (d, C, w) plan kernel, replicated
+    mesh: Mesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-device factored embedding responses (E9, n4), built ONCE per
+    (dataset, plan) — the mesh twin of the single-device ``_factored``
+    cache. Each device holds only its own row shard's responses, so the
+    E9 footprint scales down with the mesh."""
+    from shadowing_tpu.ops.pallas_factored import build_factored
+
+    return jax.shard_map(
+        lambda y3_loc, n2_loc: build_factored(y3_loc, n2_loc, kernel),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None, None, None),
+                   P(DATA_AXIS, None, None, None)),
+        check_vma=False,
+    )(y3, n2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "n_out", "r_loc", "mesh", "cap", "interpret"),
+)
+def sharded_factored_search(
+    E9: jax.Array,         # (NT, nblk, 2*d8, L*TR) sharded on NT
+    n4: jax.Array,         # (NT, nblk, 1, L*TR) sharded on NT
+    y3: jax.Array,         # (Rp, C, cols) sharded (pass-2 rescore)
+    n2: jax.Array,         # (Rp, nblk * L) sharded
+    g: jax.Array,          # (B, C, w) combined filters, replicated
+    x_emb: jax.Array,      # (B, d) context embeddings, replicated
+    k: int,
+    n_out: int,
+    r_loc: int,            # UNPADDED per-device row count (global ids)
+    mesh: Mesh,
+    cap: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Mesh-sharded context-factored search: per device the
+    :func:`shadowing_tpu.ops.pallas_factored.two_pass_search_factored`
+    twin on its local E shard, then the same ICI all_gather k-merge as
+    every other mesh route."""
+    from shadowing_tpu.ops import pallas_factored
+
+    k_loc = min(k, r_loc * n_out)
+
+    def local(E9_loc, n4_loc, y3_loc, n2_loc):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        vals, idx, ok = pallas_factored.two_pass_search_factored(
+            E9_loc, n4_loc, y3_loc, n2_loc, g, x_emb,
+            k=k_loc, n_out=n_out, cap=cap, interpret=interpret,
+        )
+        idx = idx + ax.astype(jnp.int32) * (r_loc * n_out)
+        merged_v, merged_i = _ici_topk_merge(vals, idx, k)
+        ok_all = jax.lax.all_gather(ok, DATA_AXIS).all(axis=0)
+        return merged_v, merged_i, ok_all
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None, None),
+                  P(DATA_AXIS, None, None, None),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(E9, n4, y3, n2)
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "n_out", "n_splits", "distance", "R_true", "mesh"),

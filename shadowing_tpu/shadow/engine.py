@@ -600,13 +600,13 @@ class PathShadowing:
         if os.environ.get("SHADOWING_TPU_NO_FACTORED", "0") not in ("", "0"):
             return False
         d, C, w = kernel.shape
-        if (
-            B < self.FACTORED_MIN_B
-            or self.mesh is not None
-            or d > pallas_factored.MAX_DIM
-        ):
+        if B < self.FACTORED_MIN_B or d > pallas_factored.MAX_DIM:
             return False
+        # all sizes per DEVICE: in mesh mode each device holds (and pads)
+        # only its own row shard
         R = self.y.shape[0]
+        if self.mesh is not None:
+            R = R // self.mesh.shape["data"]
         if pallas_search.padded_rows(R, C, n_out, w) % pallas_factored.TR:
             return False
         # memory gate: E9 + the other residents (dataset + pad views,
@@ -632,6 +632,8 @@ class PathShadowing:
             resident += self._y.nbytes
         if self._padded is not None:
             resident += sum(a.nbytes for a in self._padded)
+        if self.mesh is not None:   # sharded residents: per-device share
+            resident //= self.mesh.shape["data"]
         limit = 4 * _memory_budget()
         return int(max(256 << 20,
                        min(_memory_budget(), limit - resident - (2 << 30))))
@@ -953,12 +955,25 @@ class PathShadowing:
                         w=kernel.shape[-1], mesh=self.mesh,
                     )
                 y3, n2 = self._padded
-                _, flat_idx, ok = psh.sharded_pallas_search_padded(
-                    y3, n2, g, k=k, n_out=n_out,
-                    r_loc=y.shape[0] // self.mesh.shape["data"],
-                    mesh=self.mesh, cap=tournament_cap,
-                    interpret=self._pallas_interpret(),
-                )
+                r_loc = y.shape[0] // self.mesh.shape["data"]
+                B = x_context.shape[0]
+                if self._factored_ok(kernel, n_out, B):
+                    if self._factored is None:
+                        self._factored = psh.sharded_build_factored(
+                            y3, n2, kernel_dev, mesh=self.mesh
+                        )
+                    E9, n4 = self._factored
+                    _, flat_idx, ok = psh.sharded_factored_search(
+                        E9, n4, y3, n2, g, x_emb, k=k, n_out=n_out,
+                        r_loc=r_loc, mesh=self.mesh, cap=tournament_cap,
+                        interpret=self._pallas_interpret(),
+                    )
+                else:
+                    _, flat_idx, ok = psh.sharded_pallas_search_padded(
+                        y3, n2, g, k=k, n_out=n_out, r_loc=r_loc,
+                        mesh=self.mesh, cap=tournament_cap,
+                        interpret=self._pallas_interpret(),
+                    )
             else:
                 _, flat_idx, ok = psh.sharded_fused_search(
                     y, self.window_norms(), g, x_norm2, k=k, n_out=n_out,

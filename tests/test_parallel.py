@@ -159,7 +159,11 @@ class TestEngineMesh:
         d0, p0, i0 = single.shadow(ctx, k=24)
         if B >= PathShadowing.FACTORED_MIN_B:
             assert single._factored is not None
-        dm, pm, im = mk(n_dev).shadow(ctx, k=24)
+        meshed = mk(n_dev)
+        dm, pm, im = meshed.shadow(ctx, k=24)
+        if B >= PathShadowing.FACTORED_MIN_B:
+            # the mesh route builds per-device E shards for context batches
+            assert meshed._factored is not None
         np.testing.assert_array_equal(im, i0)
         np.testing.assert_array_equal(dm, d0)
         np.testing.assert_array_equal(pm, p0)
