@@ -344,7 +344,8 @@ def bench_backtest():
     t = median_time(run, n=3)
     rate = n_dates / t
     log(f"[backtest] warm {n_dates} dates (B={chunk} chunks, k=1024, "
-        f"R=32768x4096): {t:.2f}s -> {rate:.0f} dates/s")
+        f"R=32768x4096): {t:.2f}s -> {rate:.0f} dates/s "
+        f"(factored pass-1: {obj._factored is not None})")
     return {"backtest_dates_per_s": round(rate)}
 
 
