@@ -285,12 +285,11 @@ def two_pass_search_padded(
     two-index gathers, which scalarise on TPU (measured 60 ms vs 15 ms for
     the whole pass at B=1, reference config).
     """
-    B, C, w = g.shape
+    B, _, w = g.shape
     if w > MAX_WIDTH:
         raise ValueError(f"filter width {w} > {MAX_WIDTH} unsupported by the "
                          "pallas search; use the scan path")
-    m = _seg_blocks(w)
-    Rp, _, cols = y3.shape
+    Rp, C, cols = y3.shape
     nblk = n2.shape[1] // L
     if Rp * nblk * L >= jnp.iinfo(jnp.int32).max:
         raise ValueError(

@@ -142,8 +142,7 @@ def topk_min_batched(
         neg, idx = jax.lax.top_k(-scores, k)
         return TopKBatchResult(-neg, idx.astype(jnp.int32),
                                jnp.ones((B,), jnp.bool_))
-    n_blocks = -(-n // block)
-    cap = min(cap, n_blocks)
+    n_blocks = -(-n // block)   # cap <= n_blocks (clamped in _tournament_cap)
     pad = n_blocks * block - n
     if pad:
         scores = jnp.concatenate(

@@ -380,13 +380,14 @@ def sharded_direct_search(
     )(y)
 
 
-@partial(jax.jit, static_argnames=("n_out", "w_extract", "mesh"))
+@partial(jax.jit, static_argnames=("n_out", "w_extract", "mesh", "budget"))
 def sharded_extract(
     y: jax.Array,          # (R_pad, C, T), R sharded over mesh
     flat_idx: jax.Array,   # (B, k) global flat indices, replicated
     n_out: int,
     w_extract: int,
     mesh: Mesh,
+    budget: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Gather winner windows from the sharded dataset.
 
@@ -412,7 +413,7 @@ def sharded_extract(
         # engine._rows_window_slice: the two-index window gather
         # scalarises on TPU; the row buffer is bounded per device)
         sl = _rows_window_slice(y_loc, lt.reshape(-1), t0.reshape(-1),
-                                w_extract)
+                                w_extract, budget=budget)
         paths = sl.reshape(B, k, C, w_extract)
         paths = jnp.where(mask[..., None, None], paths, 0.0)
         return jax.lax.psum(paths, DATA_AXIS)
@@ -428,7 +429,7 @@ def sharded_extract(
 
 
 @partial(jax.jit, static_argnames=("n_out", "w_extract", "distance",
-                                   "select_in", "mesh"))
+                                   "select_in", "mesh", "budget"))
 def sharded_finalize_shadow(
     y: jax.Array,
     flat_idx: jax.Array,
@@ -439,6 +440,7 @@ def sharded_finalize_shadow(
     distance,
     select_in,
     mesh: Mesh,
+    budget: Optional[int] = None,
 ):
     """Sharded extraction + replicated exact rescore + ascending sort —
     the mesh twin of the engine's ``_finalize_shadow``, one dispatch.
@@ -449,7 +451,8 @@ def sharded_finalize_shadow(
 
     flat_idx = jnp.sort(flat_idx, axis=-1)
     paths, idces = sharded_extract(y, flat_idx, n_out=n_out,
-                                   w_extract=w_extract, mesh=mesh)
+                                   w_extract=w_extract, mesh=mesh,
+                                   budget=budget)
     in_paths = select_in(paths)
     dists = _exact_rescore(x_emb, in_paths, kernel, distance=distance)
     order = jnp.argsort(dists, axis=-1)

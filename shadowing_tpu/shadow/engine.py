@@ -609,12 +609,13 @@ class PathShadowing:
             R = R // self.mesh.shape["data"]
         if pallas_search.padded_rows(R, C, n_out, w) % pallas_factored.TR:
             return False
-        # memory gate: E9 + the other residents (dataset + pad views,
-        # ~3x the dataset) + >= 2 GB working headroom must fit the device
-        # (_memory_budget() is a quarter of the device limit; extraction
-        # scratch shrinks to the leftover via _scratch_budget). The 12 GB
-        # backtest-config E9 fits a 16 GB v5e this way — verified live.
-        resident = 3 * R * C * dim_bct(self.dataset).shape[-1] * 4
+        # memory gate: E9 + the other residents (dataset + pad views +
+        # window norms + n4, ~5x the dataset at typical horizons) + >= 2 GB
+        # working headroom must fit the device (_memory_budget() is a
+        # quarter of the device limit; extraction scratch shrinks to the
+        # leftover via _scratch_budget). The 12 GB backtest-config E9 fits
+        # a 16 GB v5e this way — verified live.
+        resident = 5 * R * C * dim_bct(self.dataset).shape[-1] * 4
         limit = 4 * _memory_budget()
         return (pallas_factored.e9_bytes(R, n_out, d)
                 <= limit - resident - (2 << 30))
@@ -992,10 +993,12 @@ class PathShadowing:
 
         w_extract = x_context.shape[-1] + self.context.get_out_times()
         kernel_raw = jnp.asarray(self.embedding.kernel)
+        budget = self._scratch_budget()
         fin = psh.sharded_finalize_shadow(
             y, flat_idx, x_emb, kernel_raw,
             n_out=n_out, w_extract=w_extract, distance=self.distance,
             select_in=self.context.select_in_context, mesh=self.mesh,
+            budget=budget,
         )
 
         def redo(ok_host):
@@ -1011,6 +1014,7 @@ class PathShadowing:
                 y, jnp.asarray(fi), x_emb, kernel_raw,
                 n_out=n_out, w_extract=w_extract, distance=self.distance,
                 select_in=self.context.select_in_context, mesh=self.mesh,
+                budget=budget,
             )
 
         return (*fin, ok, redo)

@@ -142,9 +142,9 @@ class TestEngineMesh:
     @pytest.mark.parametrize("n_dev,B", [(1, 3), (8, 3), (8, 9)])
     def test_shadow_matches_single_device(self, rng, n_dev, B, monkeypatch):
         """Mesh-size invariance through the public API, with an R that does
-        NOT divide the mesh (padding path). The B=9 case makes the
-        single-device side route pass-1 through the factored-E kernel
-        (mesh mode never does) — factored vs mesh must still be identical."""
+        NOT divide the mesh (padding path). The B=9 case routes BOTH sides
+        through the factored-E kernel — the single device directly, the
+        mesh via per-device E shards — and they must still be identical."""
         from shadowing_tpu import PathShadowing, PredictionContext
 
         if B >= PathShadowing.FACTORED_MIN_B:
