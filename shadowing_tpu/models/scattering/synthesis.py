@@ -183,13 +183,16 @@ def _coloured_noise(key, batch, T, target, psi_hat, J):
 
 
 def _bucket_sizes(batch: int, quantum: int = 1) -> list:
-    """Descending batch buckets: [batch, ~b/2, ~b/4, ~b/8] (<= 4 shapes),
+    """Descending batch buckets: [batch, ~b/2, ..., ~b/32] (<= 6 shapes),
     each rounded up to a multiple of ``quantum`` (the mesh size, so every
-    bucketed gather keeps an even per-device row count)."""
+    bucketed gather keeps an even per-device row count). Six halvings keep
+    the compile count bounded while letting straggler-tail segments run
+    near the true active-set size (4 levels left the last ~300 steps of a
+    256-seed run paying a 32-wide bucket for a handful of seeds)."""
     q = max(1, quantum)
     rnd = lambda n: -(-n // q) * q
     sizes = [rnd(batch)]
-    while sizes[-1] > q and len(sizes) < 4:
+    while sizes[-1] > q and len(sizes) < 6:
         nxt = rnd(-(-sizes[-1] // 2))
         if nxt == sizes[-1]:
             break

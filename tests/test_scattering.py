@@ -265,12 +265,15 @@ class TestSynthesis:
         )
 
         sizes = _bucket_sizes(256)
-        assert sizes == [256, 128, 64, 32]
+        assert sizes == [256, 128, 64, 32, 16, 8]
         assert _bucket(256, sizes) == 256
         assert _bucket(129, sizes) == 256
         assert _bucket(33, sizes) == 64
-        assert _bucket(1, sizes) == 32
+        assert _bucket(9, sizes) == 16
+        assert _bucket(1, sizes) == 8
         assert _bucket_sizes(1) == [1]
+        # mesh quantum: every bucket stays a device multiple
+        assert _bucket_sizes(24, quantum=8) == [24, 16, 8]
 
     def test_generate_end_to_end_heavy_tail(self, rng):
         """Full generate() on a heavy-tailed, vol-clustered input: outputs
