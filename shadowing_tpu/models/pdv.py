@@ -353,33 +353,45 @@ class AutoregressiveLinearPredictor:
         return kern * ANNUALIZATION / kern.sum()
 
     def separate(self, x: np.ndarray) -> Tuple[np.ndarray, ...]:
-        """Split a price series into (past-window indices, future indices,
-        past log-returns, future realized vols) — reference
-        ``PDV.py:105-116``; past and future share one price sample so their
-        increments are disjoint."""
+        """Training pairs from one price series: every stride-``s`` span of
+        ``w + 1 + T`` prices yields a (past, future) pair sharing exactly one
+        price sample, so the past log-returns and the future realized vol
+        are built from disjoint increments (the contract of reference
+        ``PDV.py:105-116``).
+
+        :return: (past sample indices, future sample indices,
+            past log-returns ``(n, w)``, future realized vols ``(n,)``)
+        """
         assert x.ndim == 1
-        w_params = {"w": self.w + 1 + self.T, "s": self.s, "offset": 0}
-        indices = windows(np.arange(x.size), **w_params)
-        idx_x, idx_y = indices[:, : -self.T - 1], indices[:, -self.T - 1 :]
-        x_w = windows(x, **w_params)
-        x_train = np.diff(np.log(x_w[:, : self.w + 1]))
-        y_train = np.asarray(get_RV(x_w[:, self.w :]))
-        return idx_x, idx_y, x_train, y_train
+        span = self.w + 1 + self.T
+        prices = windows(x, w=span, s=self.s)            # (n, span)
+        sample_idx = windows(np.arange(x.size), w=span, s=self.s)
+        past = prices[:, : self.w + 1]                   # shares prices[w]
+        future = prices[:, self.w :]
+        return (
+            sample_idx[:, : self.w],
+            sample_idx[:, self.w :],
+            np.diff(np.log(past)),
+            np.asarray(get_RV(future)),
+        )
 
     @staticmethod
     def embedding(dlnx, k1, k2, extra_term: bool = False) -> np.ndarray:
-        """Feature map ``[1, R1, R2]`` (plus relu(R1)^2 when ``extra_term``)
-        of kernel-weighted past returns (reference ``PDV.py:118-140``)."""
-        dlnx = np.atleast_2d(np.asarray(dlnx))
+        """Guyon–Lekeufack feature map of a window of log-returns: constant,
+        trend factor ``R1 = <k1, r>``, volatility factor
+        ``R2 = sqrt(<k2, r^2>)`` — plus ``relu(R1)^2`` when ``extra_term``
+        (the published model's optional convexity term; reference
+        ``PDV.py:118-140``)."""
+        r = np.atleast_2d(np.asarray(dlnx))
         k1 = np.asarray(k1)
         k2 = np.asarray(k2)
-        assert dlnx.shape[-1] == k1.size == k2.size
-        R1t = (dlnx * k1).sum(-1)
-        R2t = np.sqrt((dlnx**2 * k2).sum(-1))
-        emb = [np.ones_like(R1t), R1t, R2t]
+        assert r.shape[-1] == k1.size == k2.size
+        R1 = r @ k1
+        R2 = np.sqrt((r * r) @ k2)
+        cols = [np.ones_like(R1), R1, R2]
         if extra_term:
-            emb.append((0.5 * np.abs(R1t) + 0.5 * R1t) ** 2)
-        return np.stack(emb, axis=-1)
+            cols.append(np.square(np.maximum(R1, 0.0)))
+        return np.stack(cols, axis=-1)
 
     def train(self, x: np.ndarray) -> None:
         """Least-squares fit (no intercept — the feature map carries the
