@@ -172,3 +172,19 @@ def test_engine_kill_switch(rng, monkeypatch):
 def test_e9_bytes():
     # backtest config: 32768 rows, ~3.8k starts, d=20 -> ~12 GB
     assert 10 << 30 < e9_bytes(32768, 3825, 20) < 14 << 30
+
+
+def test_scratch_budget(rng, monkeypatch):
+    """With E9 resident the extraction scratch budget shrinks to the real
+    headroom (floored at 256 MB); without it the default budget applies."""
+    monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+    dataset = rng.normal(0, 0.02, size=(48, 1, 300)).astype(np.float32)
+    ctx = np.repeat(dataset[[2], :, 30:54], 9, axis=0)
+    obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                        PredictionContext(horizon=16))
+    assert obj._scratch_budget() is None          # nothing resident yet
+    obj.shadow(ctx, k=8, method="pallas")
+    assert obj._factored is not None
+    b = obj._scratch_budget()
+    from shadowing_tpu.shadow.engine import _memory_budget
+    assert b is not None and (256 << 20) <= b <= _memory_budget()
