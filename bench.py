@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -415,7 +416,57 @@ def calibrate_platform():
     }
 
 
+def wait_for_backend():
+    """Gate on device availability before touching jax in this process.
+
+    The axon tunnel has been observed to go fully unavailable for an hour+
+    (backend init either hangs indefinitely or raises "TPU backend
+    setup/compile error"). Backend init cannot be retried in-process once
+    it has hung, so probe in a short-lived subprocess with a timeout and
+    only proceed once a probe completes a real dispatch. Gives up (exit 1,
+    no JSON line — an absent record beats a fabricated one) after
+    ``BENCH_WAIT_S`` seconds (default 45 min). ``BENCH_SKIP_GATE=1``
+    disables the gate; a forced-CPU run skips it automatically.
+    """
+    if os.environ.get("BENCH_SKIP_GATE") == "1":
+        return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").replace(" ", "").split(","):
+        return  # no tunnel involved
+    deadline = time.monotonic() + float(os.environ.get("BENCH_WAIT_S", "2700"))
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "x = jnp.ones((128, 128), jnp.float32); "
+        "print(float((x @ x).sum()))"
+    )
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        try:
+            # generous per-probe timeout: after a killed/hung session the
+            # next init can legitimately take minutes before succeeding
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=600, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                log(f"[gate] device probe ok "
+                    f"(attempt {attempt}, {time.monotonic() - t0:.0f}s)")
+                return
+            tail = (r.stderr or "").strip().splitlines()[-1:] or ["<no stderr>"]
+            why = tail[0]
+        except subprocess.TimeoutExpired:
+            why = "probe timed out (600s) — backend init hang"
+        if time.monotonic() > deadline:
+            log(f"[gate] device unavailable after {attempt} probe(s), "
+                f"giving up: {why}")
+            sys.exit(1)
+        log(f"[gate] probe {attempt} failed ({why}); retrying in 120s")
+        time.sleep(120)
+
+
 def main():
+    wait_for_backend()
     plat = {}
     if os.environ.get("BENCH_SKIP_CALIBRATE") != "1":
         plat = calibrate_platform()
