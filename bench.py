@@ -175,6 +175,7 @@ def bench_generation():
         _bucket_sizes,
         _optimize_segment,
         _optimize_segment_compact,
+        default_lr_schedule,
         synthesize_batch,
     )
     from shadowing_tpu.models.scattering.wavelets import build_filter_bank
@@ -210,7 +211,7 @@ def bench_generation():
     # lr is a STATIC jit arg: warm with the exact schedule tuple the timed
     # runs use (synthesize_batch's lr=None default), else the warm-up
     # compiles executables the measurement never dispatches
-    lr_sched = ("cos", 0.06, 0.005, max_iter)
+    lr_sched = default_lr_schedule(max_iter)
     for nb in _bucket_sizes(batch):
         out = _optimize_segment_compact(
             z0, z0, z0, jnp.zeros((nb,), jnp.int32), jnp.asarray(0.0),

@@ -32,6 +32,15 @@ from shadowing_tpu.models.scattering.moments import _scattering_stats_flat
 from shadowing_tpu.models.scattering.wavelets import FilterBank
 
 
+def default_lr_schedule(max_iterations: int) -> tuple:
+    """The measured-best schedule: cosine 0.06 -> 0.005 over HALF the step
+    budget (most seeds converge well before ``max_iterations``; decaying
+    over the full budget leaves the lr needlessly high through the bulk of
+    the optimisation). Exposed so callers that pre-warm jit executables
+    (bench.py) use the exact static lr tuple the timed runs will."""
+    return ("cos", 0.06, 0.005, max(1, max_iterations // 2))
+
+
 def _lr_at(lr, t):
     """Learning rate at (1-based, float) step ``t``.
 
@@ -39,7 +48,11 @@ def _lr_at(lr, t):
     ``("cos", lr0, lr1, horizon)``: lr0 -> lr1 over ``horizon`` steps.
     Measured on the S&P target (J=9, T=4096, tol 1e-2): cosine
     0.06 -> 0.005 converges ~23% fewer seed-steps than the constant 0.03
-    and reaches a higher converged fraction (98% vs 96% at step 1000).
+    and reaches a higher converged fraction (98% vs 96% at step 1000);
+    halving the cosine horizon (see :func:`default_lr_schedule`) and the
+    faster second-moment decay in :func:`_adam_scan` together cut a
+    further ~25% (9.1k -> 6.7k seed-steps per 32 at 25-step resolution,
+    two seeds).
     """
     if isinstance(lr, tuple):
         _, lr0, lr1, horizon = lr
@@ -50,8 +63,15 @@ def _lr_at(lr, t):
 
 def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm=None,
                bands=None):
-    """``n_steps`` Adam steps on a (B, T) seed batch (trace-time body)."""
-    b1, b2, eps = 0.9, 0.999, 1e-8
+    """``n_steps`` Adam steps on a (B, T) seed batch (trace-time body).
+
+    ``b2=0.95``: the loss is deterministic (no minibatch noise), so the
+    second moment only tracks curvature — a short memory adapts the
+    per-coordinate scale faster. Measured on the S&P target (J=9, T=4096,
+    tol 1e-2, batch 32, two seeds): ~11% fewer seed-steps than 0.999 at
+    the same 100% converged fraction, independent of the lr schedule.
+    """
+    b1, b2, eps = 0.9, 0.95, 1e-8
 
     def loss_fn(z):
         stats = _scattering_stats_flat(z, psi_hat, J=J, use_mm=use_mm,
@@ -238,8 +258,9 @@ def synthesize_batch(
     :param work_log: optional dict; filled with ``seed_steps`` (total
         per-seed Adam steps actually paid) and ``steps`` (wall steps).
     :param lr: ``None`` (default) uses the measured-best cosine schedule
-        0.06 -> 0.005 over ``max_iterations``; a float keeps a constant
-        rate (round-1 behavior: 0.03).
+        0.06 -> 0.005 over ``max_iterations // 2``
+        (:func:`default_lr_schedule`); a float keeps a constant rate
+        (round-1 behavior: 0.03).
     :param mesh: data-parallel synthesis over a device mesh (an int device
         count or a ``jax.sharding.Mesh`` with a ``"data"`` axis). Seeds are
         an ideal dp workload — per-seed independent losses, zero cross-seed
@@ -253,7 +274,7 @@ def synthesize_batch(
         converge); ``"white"`` keeps the flat-spectrum start.
     """
     if lr is None:
-        lr = ("cos", 0.06, 0.005, max_iterations)
+        lr = default_lr_schedule(max_iterations)
     T = bank.T
     psi = jnp.asarray(bank.psi_hat)
     quantum = 1

@@ -492,7 +492,9 @@ def sharded_synthesis_step(
             return ((stats - target[None]) ** 2).mean(axis=-1).sum()
 
         loss, grad = jax.value_and_grad(loss_fn)(z_loc)
-        b1, b2, eps = 0.9, 0.999, 1e-8
+        # same Adam constants as synthesis._adam_scan (b2=0.95: see its
+        # docstring — deterministic loss, short second-moment memory wins)
+        b1, b2, eps = 0.9, 0.95, 1e-8
         m_loc = b1 * m_loc + (1 - b1) * grad
         v_loc = b2 * v_loc + (1 - b2) * grad**2
         t = step_idx.astype(jnp.float32) + 1.0
