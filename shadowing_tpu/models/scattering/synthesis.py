@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shadowing_tpu.models.mrw import _sample_stationary
 from shadowing_tpu.models.scattering.moments import _scattering_stats_flat
 from shadowing_tpu.models.scattering.wavelets import FilterBank
 
@@ -202,6 +203,73 @@ def _coloured_noise(key, batch, T, target, psi_hat, J):
     return z / z.std(axis=-1, keepdims=True)
 
 
+# intermittency grid for the auto-calibrated init: 0.0 = plain coloured
+# noise (Gaussian envelopes), so non-intermittent targets never regress
+_INIT_LAMBDAS = (0.0, 0.15, 0.25, 0.35)
+
+
+@partial(jax.jit, static_argnames=("batch", "T", "J", "bands"))
+def _calibrated_seeds(key, batch, T, target, psi_hat, J, sq_oms, mean_oms,
+                      bands=None):
+    """Coloured seeds modulated by a log-normal (MRW-style) volatility
+    envelope, intermittency picked PER SEED by initial loss.
+
+    Coloured Gaussian noise matches the target spectrum (Phi_2) but starts
+    with Gaussian envelopes — zero envelope correlations (Phi_4), zero
+    phase-envelope terms (Phi_3), sparsity pinned at the Gaussian pi/4.
+    Financial targets are intermittent; multiplying by ``exp(omega)`` with
+    ``omega`` log-correlated (the Bacry–Muzy–Delour MRW volatility field,
+    reused from ``models/mrw.py``) starts those statistics near-matched
+    too. Each seed keeps the candidate (one per ``_INIT_LAMBDAS`` entry,
+    same underlying noise) with the smallest initial mismatch — one jitted
+    dispatch, ~len(grid) forward evals, repaying itself ~40x over.
+    Measured (S&P target, J=9, T=4096, tol 1e-2, two seeds, with the
+    b2=0.95 / half-horizon optimizer): ~6.8k -> ~5.1k seed-steps per 32.
+    """
+    k1, k2 = jax.random.split(key)
+    zc = _coloured_noise(k1, batch, T, target, psi_hat, J)
+
+    def one(sq_om, mean_om):
+        om = _sample_stationary(k2, sq_om, T, batch) + mean_om
+        z = zc * jnp.exp(om)
+        z = z - z.mean(axis=-1, keepdims=True)
+        return z / z.std(axis=-1, keepdims=True)
+
+    cands = jnp.stack([zc] + [
+        one(sq_oms[i], mean_oms[i]) for i in range(sq_oms.shape[0])
+    ])                                                   # (n_cand, B, T)
+
+    def loss_of(z):
+        stats = _scattering_stats_flat(z, psi_hat, J=J, bands=bands)
+        return ((stats - target[None]) ** 2).mean(axis=-1)
+
+    losses = jax.vmap(loss_of)(cands)                    # (n_cand, B)
+    best = jnp.argmin(losses, axis=0)                    # (B,)
+    return jnp.take_along_axis(cands, best[None, :, None], axis=0)[0]
+
+
+def _auto_seeds(key, batch, T, target, psi_hat, J, bands=None):
+    """Host wrapper: precompute the envelope circulant spectra (numpy FFTs,
+    one per non-zero grid entry) and call the jitted candidate selection."""
+    from shadowing_tpu.models.mrw import (
+        _circulant_sqrt_spectrum,
+        _omega_cov,
+    )
+
+    lams = [l for l in _INIT_LAMBDAS if l > 0.0]
+    sq, mu = [], []
+    for lam in lams:
+        cov = _omega_cov(T, lam, T)
+        sq.append(_circulant_sqrt_spectrum(cov))
+        mu.append(-cov[0])
+    return _calibrated_seeds(
+        key, batch, T, target, psi_hat, J,
+        jnp.asarray(np.stack(sq), jnp.float32),
+        jnp.asarray(np.asarray(mu), jnp.float32),
+        bands=bands,
+    )
+
+
 def _bucket_sizes(batch: int, quantum: int = 1) -> list:
     """Descending batch buckets: [batch, ~b/2, ..., ~b/32] (<= 6 shapes),
     each rounded up to a multiple of ``quantum`` (the mesh size, so every
@@ -242,7 +310,7 @@ def synthesize_batch(
     compact: bool = True,
     work_log: dict = None,
     mesh=None,
-    init: str = "coloured",
+    init: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesise ``batch`` series matching ``target`` statistics.
 
@@ -267,11 +335,19 @@ def synthesize_batch(
         collectives — so the batch axis of the SAME jitted segments is
         sharded and GSPMD partitions every step; compaction keeps working
         (buckets are rounded to mesh multiples so gathers stay balanced).
-        Results are identical to ``mesh=None`` for any mesh size (tested).
-    :param init: ``"coloured"`` (default) starts each seed as Gaussian
-        noise spectrally shaped to the target's per-scale powers
-        (:func:`_colour_filter` — Phi_2 starts matched, fewer steps to
-        converge); ``"white"`` keeps the flat-spectrum start.
+        The seed init and the step/retirement schedule are identical to
+        ``mesh=None`` for any mesh size; series values agree up to
+        float-ulp differences between the partitioned and single-device
+        programs amplified through Adam (~1e-3 after tens of steps —
+        tested).
+    :param init: ``"auto"`` (default) starts each seed as spectrum-coloured
+        noise modulated by an MRW-style log-normal volatility envelope,
+        intermittency auto-picked per seed by initial loss over a small
+        grid that includes zero (:func:`_calibrated_seeds` — spectrum AND
+        envelope statistics start near-matched; never worse than
+        ``"coloured"`` by construction); ``"coloured"`` skips the envelope
+        (Phi_2-only matching, round-3 early behavior); ``"white"`` keeps
+        the flat-spectrum start.
     """
     if lr is None:
         lr = default_lr_schedule(max_iterations)
@@ -292,12 +368,16 @@ def synthesize_batch(
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(DATA_AXIS, None)
         )
-    if init == "coloured":
+    if init == "auto":
+        z = _auto_seeds(key, batch, T, target, psi, J=bank.J,
+                        bands=bank.band_hi or None)
+    elif init == "coloured":
         z = _coloured_noise(key, batch, T, target, psi, J=bank.J)
     elif init == "white":
         z = jax.random.normal(key, (batch, T), jnp.float32)
     else:
-        raise ValueError(f"init must be 'coloured' or 'white', got {init!r}")
+        raise ValueError(
+            f"init must be 'auto', 'coloured' or 'white', got {init!r}")
     if sharding is not None:
         z = jax.device_put(z, sharding)
     m = jnp.zeros_like(z)

@@ -417,10 +417,20 @@ class TestMeshGeneration:
         target = self._target(rng, T, J)
         kw = dict(target=target, bank=bank, batch=8, tol=0.02, segment=40,
                   max_iterations=120)
-        z0, rms0 = synthesize_batch(jax.random.PRNGKey(3), **kw)
-        zm, rmsm = synthesize_batch(jax.random.PRNGKey(3), **kw, mesh=n_dev)
-        np.testing.assert_allclose(zm, z0, rtol=0, atol=1e-5)
-        np.testing.assert_allclose(rmsm, rms0, rtol=1e-4, atol=1e-6)
+        wl0, wlm = {}, {}
+        z0, rms0 = synthesize_batch(jax.random.PRNGKey(3), **kw, work_log=wl0)
+        zm, rmsm = synthesize_batch(jax.random.PRNGKey(3), **kw, mesh=n_dev,
+                                    work_log=wlm)
+        # the seed init is array-identical across mesh settings (computed
+        # once, unsharded); the optimisation itself is deterministic per
+        # seed but GSPMD compiles a different program per partitioning, so
+        # per-step gradients differ at float-ulp level and Adam amplifies
+        # that chaotically (measured: ~1e-7 after 1 step, up to ~1e-3
+        # after 40 at lr 0.06). The contract: same schedule, same
+        # retirement set, values equal up to that amplification.
+        np.testing.assert_allclose(zm, z0, rtol=0, atol=2e-3)
+        np.testing.assert_allclose(rmsm, rms0, rtol=5e-3, atol=1e-5)
+        assert wlm == wl0  # identical step/retirement schedule
         # convergence state (which seeds retired) must agree exactly
         np.testing.assert_array_equal(rmsm < 0.02, rms0 < 0.02)
 
@@ -433,7 +443,9 @@ class TestMeshGeneration:
         outm = generate(obs, R=8, J=4, T=256, max_iterations=60,
                         tol_optim=0.05, batch=8, seed=1, mesh=8)
         assert outm.shape == (8, 1, 256)
-        np.testing.assert_allclose(outm, out0, rtol=0, atol=1e-6)
+        # atol: ulp-amplification bound (see test above) x the output's
+        # ~1e-2 log-return scale
+        np.testing.assert_allclose(outm, out0, rtol=0, atol=5e-5)
 
     def test_batch_not_multiple_of_mesh_raises(self, rng):
         from shadowing_tpu.models.scattering.synthesis import synthesize_batch
