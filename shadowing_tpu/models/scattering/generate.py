@@ -72,7 +72,7 @@ def generate(
     batch: int = 256,
     lr=None,
     mesh=None,
-    init: str = "coloured",
+    init: str = "auto",
 ) -> np.ndarray:
     """Generate ``R`` synthetic log-return trajectories calibrated to ``x``.
 
@@ -90,9 +90,12 @@ def generate(
         reproducible streams
     :param mesh: synthesise data-parallel over a device mesh (an int device
         count or a ``Mesh`` with a ``"data"`` axis); seeds shard over
-        devices, results identical to ``mesh=None``
-    :param init: seed initialisation — ``"coloured"`` (default, spectrum
-        shaped to the target per-scale powers) or ``"white"``
+        devices, same schedule/results as ``mesh=None`` up to float-ulp
+        amplification (see :func:`synthesize_batch`)
+    :param init: seed initialisation — ``"auto"`` (default: spectrum
+        coloured + per-seed-calibrated MRW volatility envelope, see
+        :func:`synthesize_batch`), ``"coloured"`` (spectrum only) or
+        ``"white"``
     :return: ``(R, 1, T)`` float32 log-returns
     """
     del cuda

@@ -429,6 +429,78 @@ class TestColouredInit:
         assert (rms_c < 0.05).mean() >= (rms_w < 0.05).mean()
         assert wl_c["seed_steps"] <= wl_w["seed_steps"]
 
+    def test_auto_init_never_worse_at_start(self, rng):
+        """The auto init picks per seed over {coloured} U {envelope
+        candidates} by initial loss, so its starting mismatch can never
+        exceed the plain coloured start — for ANY target."""
+        from shadowing_tpu.models.scattering.moments import (
+            _scattering_stats_flat,
+        )
+        from shadowing_tpu.models.scattering.synthesis import (
+            _auto_seeds,
+            _coloured_noise,
+        )
+
+        T, J, B = 1024, 5, 16
+        bank = build_filter_bank(T, J)
+        psi = jnp.asarray(bank.psi_hat)
+        targets = {}
+        g = rng.normal(size=(32, T)).astype(np.float32)  # Gaussian target
+        targets["gaussian"] = _scattering_stats_flat(
+            jnp.asarray(g), psi, J=J).mean(0)
+        h = g * np.exp(rng.normal(size=(32, T)) * 0.5).astype(np.float32)
+        h = (h - h.mean(-1, keepdims=True)) / h.std(-1, keepdims=True)
+        targets["heavy"] = _scattering_stats_flat(
+            jnp.asarray(h), psi, J=J).mean(0)
+
+        def per_seed_loss(z, target):
+            s = _scattering_stats_flat(jnp.asarray(z), psi, J=J)
+            return np.asarray(((s - target[None]) ** 2).mean(-1))
+
+        # the auto init draws its coloured base from the FIRST split of the
+        # key (the second drives the envelopes) — compare against that same
+        # draw, not a fresh one
+        k_base = jax.random.split(jax.random.PRNGKey(5))[0]
+        for name, target in targets.items():
+            za = _auto_seeds(jax.random.PRNGKey(5), B, T, target, psi, J=J)
+            zc = _coloured_noise(k_base, B, T, target, psi, J=J)
+            la = per_seed_loss(za, target)
+            lc = per_seed_loss(zc, target)
+            # small slack: the argmin runs on the fused in-jit loss values,
+            # the check recomputes them in a separate call (float32 ulp)
+            assert (la <= lc * (1 + 1e-4) + 1e-7).all(), name
+            np.testing.assert_allclose(
+                np.asarray(za).std(-1), 1.0, atol=1e-4)
+
+    def test_auto_init_helps_intermittent_target(self, rng):
+        """For a volatility-clustered (MRW-like) target the envelope
+        candidates must actually win for most seeds and cut the initial
+        mismatch by a clear margin."""
+        from shadowing_tpu.models.scattering.moments import (
+            _scattering_stats_flat,
+        )
+        from shadowing_tpu.models.mrw import MRWGenerator
+        from shadowing_tpu.models.scattering.synthesis import (
+            _auto_seeds,
+            _coloured_noise,
+        )
+
+        T, J, B = 1024, 5, 16
+        bank = build_filter_bank(T, J)
+        psi = jnp.asarray(bank.psi_hat)
+        x = np.diff(MRWGenerator(T + 1, lam=0.3, seed=4).generate(
+            32, batch=32)[:, 0, :]).astype(np.float32)
+        x = (x - x.mean(-1, keepdims=True)) / x.std(-1, keepdims=True)
+        target = _scattering_stats_flat(jnp.asarray(x), psi, J=J).mean(0)
+
+        def mean_loss(z):
+            s = _scattering_stats_flat(jnp.asarray(z), psi, J=J)
+            return float(((s - target[None]) ** 2).mean())
+
+        za = _auto_seeds(jax.random.PRNGKey(6), B, T, target, psi, J=J)
+        zc = _coloured_noise(jax.random.PRNGKey(6), B, T, target, psi, J=J)
+        assert mean_loss(za) < 0.7 * mean_loss(zc)
+
     def test_bad_init_raises(self, rng):
         from shadowing_tpu.models.scattering.synthesis import synthesize_batch
 
