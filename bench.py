@@ -445,10 +445,14 @@ def wait_for_backend():
         t0 = time.monotonic()
         try:
             # generous per-probe timeout: after a killed/hung session the
-            # next init can legitimately take minutes before succeeding
+            # next init can legitimately take 5-15 min before succeeding
+            # (CLAUDE.md), and killing an almost-done probe re-wedges the
+            # session — so the window must exceed that hang, not just a
+            # healthy init
             r = subprocess.run(
                 [sys.executable, "-c", probe],
-                timeout=600, capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "1200")),
+                capture_output=True, text=True,
             )
             if r.returncode == 0:
                 log(f"[gate] device probe ok "
@@ -457,7 +461,7 @@ def wait_for_backend():
             tail = (r.stderr or "").strip().splitlines()[-1:] or ["<no stderr>"]
             why = tail[0]
         except subprocess.TimeoutExpired:
-            why = "probe timed out (600s) — backend init hang"
+            why = "probe timed out — backend init hang"
         if time.monotonic() > deadline:
             log(f"[gate] device unavailable after {attempt} probe(s), "
                 f"giving up: {why}")

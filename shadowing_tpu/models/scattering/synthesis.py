@@ -14,7 +14,7 @@ its RMS mismatch falls below ``tol``.
 
 Converged seeds stop costing FLOPs: between scan segments the host retires
 seeds whose RMS fell below ``tol`` and repacks the survivors into the
-smallest of at most four bucketed batch shapes (batch, ~b/2, ~b/4, ~b/8), so
+smallest of at most six bucketed batch shapes (batch, ~b/2, ..., ~b/32), so
 straggler-bound batches pay gradients only for the stragglers. The
 gather -> Adam-scan -> scatter round trip is one jitted dispatch per segment
 (state stays on device; only the per-seed losses reach the host).
@@ -138,7 +138,7 @@ def _optimize_segment_compact(
     """Gather the active seeds, Adam-step them, scatter back — one dispatch.
 
     Compile cost is keyed by ``(nb, n_steps)``; the caller quantises ``nb``
-    to at most four bucket sizes so retirement never causes a recompile
+    to at most six bucket sizes so retirement never causes a recompile
     cascade.
     """
     z, m, v, losses = _adam_scan(
@@ -209,8 +209,7 @@ _INIT_LAMBDAS = (0.0, 0.15, 0.25, 0.35)
 
 
 @partial(jax.jit, static_argnames=("batch", "T", "J", "bands"))
-def _calibrated_seeds(key, batch, T, target, psi_hat, J, sq_oms, mean_oms,
-                      bands=None):
+def _calibrated_seeds(key, batch, T, target, psi_hat, J, sq_oms, bands=None):
     """Coloured seeds modulated by a log-normal (MRW-style) volatility
     envelope, intermittency picked PER SEED by initial loss.
 
@@ -229,15 +228,17 @@ def _calibrated_seeds(key, batch, T, target, psi_hat, J, sq_oms, mean_oms,
     k1, k2 = jax.random.split(key)
     zc = _coloured_noise(k1, batch, T, target, psi_hat, J)
 
-    def one(sq_om, mean_om):
-        om = _sample_stationary(k2, sq_om, T, batch) + mean_om
+    def one(sq_om):
+        # no MRW-style mean shift on omega: a constant factor exp(mean_om)
+        # on z cancels exactly in the per-seed standardization below
+        om = _sample_stationary(k2, sq_om, T, batch)
         z = zc * jnp.exp(om)
         z = z - z.mean(axis=-1, keepdims=True)
         return z / z.std(axis=-1, keepdims=True)
 
-    cands = jnp.stack([zc] + [
-        one(sq_oms[i], mean_oms[i]) for i in range(sq_oms.shape[0])
-    ])                                                   # (n_cand, B, T)
+    cands = jnp.stack(
+        [zc] + [one(sq_oms[i]) for i in range(sq_oms.shape[0])]
+    )                                                    # (n_cand, B, T)
 
     def loss_of(z):
         stats = _scattering_stats_flat(z, psi_hat, J=J, bands=bands)
@@ -257,15 +258,10 @@ def _auto_seeds(key, batch, T, target, psi_hat, J, bands=None):
     )
 
     lams = [l for l in _INIT_LAMBDAS if l > 0.0]
-    sq, mu = [], []
-    for lam in lams:
-        cov = _omega_cov(T, lam, T)
-        sq.append(_circulant_sqrt_spectrum(cov))
-        mu.append(-cov[0])
+    sq = [_circulant_sqrt_spectrum(_omega_cov(T, lam, T)) for lam in lams]
     return _calibrated_seeds(
         key, batch, T, target, psi_hat, J,
         jnp.asarray(np.stack(sq), jnp.float32),
-        jnp.asarray(np.asarray(mu), jnp.float32),
         bands=bands,
     )
 
@@ -335,11 +331,13 @@ def synthesize_batch(
         collectives — so the batch axis of the SAME jitted segments is
         sharded and GSPMD partitions every step; compaction keeps working
         (buckets are rounded to mesh multiples so gathers stay balanced).
-        The seed init and the step/retirement schedule are identical to
-        ``mesh=None`` for any mesh size; series values agree up to
-        float-ulp differences between the partitioned and single-device
-        programs amplified through Adam (~1e-3 after tens of steps —
-        tested).
+        The seed init is array-identical to ``mesh=None`` for any mesh
+        size; series values agree up to float-ulp differences between the
+        partitioned and single-device programs amplified through Adam
+        (~1e-3 after tens of steps — tested). The step/retirement schedule
+        matches too unless a seed's rms lands inside that ulp band of
+        ``tol`` at a segment boundary, in which case it can retire one
+        segment later on one partitioning than the other.
     :param init: ``"auto"`` (default) starts each seed as spectrum-coloured
         noise modulated by an MRW-style log-normal volatility envelope,
         intermittency auto-picked per seed by initial loss over a small
@@ -384,7 +382,7 @@ def synthesize_batch(
     v = jnp.zeros_like(z)
 
     # Active-set compaction: converged seeds retire and stop costing
-    # gradients; survivors are repacked into <= 4 bucketed shapes (bounded
+    # gradients; survivors are repacked into <= 6 bucketed shapes (bounded
     # recompiles). ``rms_full`` records each seed's RMS at retirement (or at
     # budget exhaustion). The active set and retirement RMS are part of the
     # checkpoint, so a resumed run continues the exact same schedule (no

@@ -430,7 +430,12 @@ class TestMeshGeneration:
         # retirement set, values equal up to that amplification.
         np.testing.assert_allclose(zm, z0, rtol=0, atol=2e-3)
         np.testing.assert_allclose(rmsm, rms0, rtol=5e-3, atol=1e-5)
-        assert wlm == wl0  # identical step/retirement schedule
+        # identical step/retirement schedule. Not guaranteed by
+        # construction — a seed whose rms lands inside the ulp band of tol
+        # at a segment boundary could retire one segment later — but this
+        # config keeps a wide margin (rms ~0.009 vs tol 0.02), so a flip
+        # here means a real regression, not noise.
+        assert wlm == wl0
         # convergence state (which seeds retired) must agree exactly
         np.testing.assert_array_equal(rmsm < 0.02, rms0 < 0.02)
 
