@@ -44,6 +44,11 @@ def get_args():
                         default=Path(__file__).parents[2] / "_cache"
                         / "snp_generation")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--init", choices=("auto", "coloured", "white"),
+                        default="auto",
+                        help="seed initialisation: 'auto' (spectrum-coloured"
+                        " + per-seed-calibrated volatility envelope),"
+                        " 'coloured' (spectrum only) or 'white'")
     parser.add_argument("-q", "--quiet", action="store_true")
     return parser.parse_args()
 
@@ -77,6 +82,7 @@ def main():
         # disjoint reproducible stream per task (reference ntot/tid pattern)
         seed=args.seed * ntot + tid,
         batch=args.batch,
+        init=args.init,
     )
     np.save(out_file, x_gen.astype(np.float32))
     print(f"wrote {out_file}: {x_gen.shape}")
