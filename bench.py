@@ -175,7 +175,9 @@ def bench_generation():
         _bucket_sizes,
         _optimize_segment,
         _optimize_segment_compact,
+        _tail_segment,
         default_lr_schedule,
+        should_standardize,
         synthesize_batch,
     )
     from shadowing_tpu.models.scattering.wavelets import build_filter_bank
@@ -212,11 +214,13 @@ def bench_generation():
     # runs use (synthesize_batch's lr=None default), else the warm-up
     # compiles executables the measurement never dispatches
     lr_sched = default_lr_schedule(max_iter)
+    std = should_standardize(target)
     for nb in _bucket_sizes(batch):
+        # tail segments are what the compact path actually dispatches
         out = _optimize_segment_compact(
             z0, z0, z0, jnp.zeros((nb,), jnp.int32), jnp.asarray(0.0),
-            target, psi, J=J, n_steps=seg, lr=lr_sched,
-            bands=bank.band_hi or None,
+            target, psi, J=J, n_steps=_tail_segment(seg), lr=lr_sched,
+            bands=bank.band_hi or None, standardize=std,
         )
         np.asarray(out[-1])
     dt_pipe, _, _ = run(99)
@@ -265,7 +269,8 @@ def bench_generation():
             # TPU-tuned matmul DFT — the comparison stays honest
             np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c, psi_c,
                                          J=J, n_steps=2, use_mm=False,
-                                         bands=bank.band_hi or None)[0])
+                                         bands=bank.band_hi or None,
+                                         standardize=std)[0])
             # MIN over 5 reps: host-clock contention only ever slows the
             # CPU, so the minimum is the fairest (most CPU-favourable)
             # estimate; observed same-day spread on this VM 2.5-8 ms
@@ -275,7 +280,8 @@ def bench_generation():
                 np.asarray(_optimize_segment(z0, zeros, zeros, i0, tgt_c,
                                              psi_c, J=J, n_steps=steps_cpu,
                                              use_mm=False,
-                                             bands=bank.band_hi or None)[0])
+                                             bands=bank.band_hi or None,
+                                             standardize=std)[0])
                 ts_cpu.append(time.perf_counter() - t0)
             dt_cpu = float(np.min(ts_cpu))
         per_seed_step_cpu = dt_cpu / (steps_cpu * b_cpu)

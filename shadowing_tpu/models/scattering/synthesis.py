@@ -62,8 +62,21 @@ def _lr_at(lr, t):
     return lr
 
 
+def _standardize(z):
+    z = z - z.mean(axis=-1, keepdims=True)
+    return z / z.std(axis=-1, keepdims=True)
+
+
+def should_standardize(target) -> bool:
+    """True when the target's mean/logvar entries say "standardized series"
+    (|mean| and |logvar| ~ 0) — then the in-loss projection of
+    :func:`_adam_scan` is exact and synthesize_batch enables it. Exposed so
+    executable warm-ups (bench.py) key their jits the same way."""
+    return bool(abs(float(target[0])) < 1e-3 and abs(float(target[1])) < 1e-3)
+
+
 def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm=None,
-               bands=None):
+               bands=None, standardize=False):
     """``n_steps`` Adam steps on a (B, T) seed batch (trace-time body).
 
     ``b2=0.95``: the loss is deterministic (no minibatch noise), so the
@@ -71,11 +84,23 @@ def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm=None,
     per-coordinate scale faster. Measured on the S&P target (J=9, T=4096,
     tol 1e-2, batch 32, two seeds): ~11% fewer seed-steps than 0.999 at
     the same 100% converged fraction, independent of the lr schedule.
+
+    ``standardize``: evaluate the statistics on the per-seed standardized
+    series (gradients flow through the projection). Valid when the target
+    itself is standardized (mean/logvar entries ~0 — callers rescale the
+    output, so seeds are *defined* as normalised series): the mean/logvar
+    statistics are then matched exactly by construction instead of by
+    gradient descent. Profiling showed the seed means drifting while Adam
+    fixes the other statistics and then converging SLOWEST of all families
+    (~40% of the remaining squared error at step 200); projecting them out
+    measured ~28% fewer seed-steps (5.4k/4.8k -> 3.9k/3.4k per 32, two
+    seeds, auto init).
     """
     b1, b2, eps = 0.9, 0.95, 1e-8
 
     def loss_fn(z):
-        stats = _scattering_stats_flat(z, psi_hat, J=J, use_mm=use_mm,
+        zs = _standardize(z) if standardize else z
+        stats = _scattering_stats_flat(zs, psi_hat, J=J, use_mm=use_mm,
                                        bands=bands)
         # sum of per-seed means: gradients don't depend on the batch split
         return ((stats - target[None]) ** 2).mean(axis=-1).sum(), stats
@@ -99,7 +124,8 @@ def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm=None,
     return z, m, v, per_seed_loss(stats)
 
 
-@partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm", "bands"))
+@partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm", "bands",
+                                   "standardize"))
 def _optimize_segment(
     z: jax.Array,          # (B, T) normalised series being optimised
     m: jax.Array,          # Adam state
@@ -112,13 +138,15 @@ def _optimize_segment(
     lr: float = 0.03,
     use_mm: bool = None,   # FFT impl for the stats (None: backend default)
     bands: tuple = None,   # per-scale support bins (FilterBank.band_hi)
+    standardize: bool = False,  # see _adam_scan
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run ``n_steps`` Adam steps on the full batch; returns (z, m, v, loss)."""
     return _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm,
-                      bands)
+                      bands, standardize)
 
 
-@partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm", "bands"))
+@partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm", "bands",
+                                   "standardize"))
 def _optimize_segment_compact(
     z_full: jax.Array,     # (batch, T) all seeds (converged ones frozen)
     m_full: jax.Array,
@@ -134,6 +162,7 @@ def _optimize_segment_compact(
     lr: float = 0.03,
     use_mm: bool = None,
     bands: tuple = None,
+    standardize: bool = False,  # see _adam_scan
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather the active seeds, Adam-step them, scatter back — one dispatch.
 
@@ -143,7 +172,7 @@ def _optimize_segment_compact(
     """
     z, m, v, losses = _adam_scan(
         z_full[idx], m_full[idx], v_full[idx], i0, target, psi_hat,
-        J, n_steps, lr, use_mm, bands,
+        J, n_steps, lr, use_mm, bands, standardize,
     )
     return (
         z_full.at[idx].set(z),
@@ -292,6 +321,24 @@ def _bucket(n: int, sizes: list) -> int:
     return sizes[0]
 
 
+def _tail_segment(segment: int) -> int:
+    """Segment length after the first segment: ``segment // 4`` (>= 25).
+
+    Retirement is only observed at segment boundaries, so granularity is
+    wasted seed-steps: with the calibrated init + standardized loss the
+    retirement curve is steep (nobody converges in the first ~75 steps,
+    ~45% by 100, ~97% by 150 at the production config), and a flat
+    ``segment=100`` schedule pays every seed to the NEXT boundary past its
+    convergence (measured 52k seed-steps where the curve's integral is
+    ~29k). Quarter-length tail segments recover most of that at the cost
+    of a few extra per-segment host syncs; the first segment stays long
+    because nothing retires early anyway. Compile count is unchanged: the
+    tail length replaces the full length in the compact-bucket executables
+    (one ``n_steps`` value each for full and tail). Exposed to bench.py so
+    its warm-up compiles the same shapes."""
+    return max(25, segment // 4)
+
+
 def synthesize_batch(
     key: jax.Array,
     target: jax.Array,
@@ -349,6 +396,9 @@ def synthesize_batch(
     """
     if lr is None:
         lr = default_lr_schedule(max_iterations)
+    # standardized targets: match mean/logvar exactly by projection instead
+    # of by gradient descent (see _adam_scan) — ~28% fewer seed-steps
+    std = should_standardize(target)
     T = bank.T
     psi = jnp.asarray(bank.psi_hat)
     quantum = 1
@@ -412,7 +462,10 @@ def synthesize_batch(
                       f"({batch - active.size}/{batch} already converged)",
                       flush=True)
     while done < max_iterations and active.size:
-        n = min(segment, max_iterations - done)
+        # first segment long (nothing retires early), then fine-grained
+        # tail segments so converged seeds stop paying promptly
+        seg_now = segment if done == 0 else _tail_segment(segment)
+        n = min(seg_now, max_iterations - done)
         if compact and active.size < batch:
             nb = _bucket(active.size, sizes)
             idx = np.resize(active, nb)  # pad by cycling the active rows
@@ -420,6 +473,7 @@ def synthesize_batch(
                 z, m, v, jnp.asarray(idx, jnp.int32),
                 jnp.asarray(done, jnp.float32), target, psi,
                 J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
+                standardize=std,
             )
             rms_seg = np.sqrt(np.asarray(losses))[: active.size]
             rms_full[active] = rms_seg
@@ -428,6 +482,7 @@ def synthesize_batch(
             z, m, v, losses = _optimize_segment(
                 z, m, v, jnp.asarray(done, jnp.float32), target, psi,
                 J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
+                standardize=std,
             )
             rms_full[:] = np.sqrt(np.asarray(losses))
             seed_steps += batch * n
@@ -453,6 +508,7 @@ def synthesize_batch(
         _, _, _, losses = _optimize_segment(
             z, m, v, jnp.asarray(done, jnp.float32), target, psi,
             J=bank.J, n_steps=0, lr=lr, bands=bank.band_hi or None,
+            standardize=std,
         )
         rms_full = np.sqrt(np.asarray(losses))
     if work_log is not None:
@@ -460,4 +516,9 @@ def synthesize_batch(
         work_log["steps"] = done
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()  # shard finished: drop the mid-shard state
+    if std:
+        # the loss/rms describe the per-seed standardized series — return
+        # exactly that (the raw variable may carry a residual mean/scale
+        # the projection absorbed)
+        z = _standardize(z)
     return np.asarray(z), rms_full
