@@ -167,6 +167,38 @@ class TestSynthesis:
         assert z.shape == (8, T)
         assert np.median(rms) < 0.05
 
+    def test_standardized_target_gives_standardized_output(self, rng):
+        """With a z-scored target the in-loss projection is active: the
+        returned seeds must be exactly per-seed standardized (mean/logvar
+        matched by construction, not by gradient descent), and the rms
+        must describe that standardized series."""
+        from shadowing_tpu.models.scattering.moments import (
+            _scattering_stats_flat,
+        )
+        from shadowing_tpu.models.scattering.synthesis import (
+            should_standardize,
+        )
+
+        T, J = 512, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(64, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+        assert should_standardize(target)
+        z, rms = synthesize_batch(
+            jax.random.PRNGKey(1), target, bank, batch=8,
+            max_iterations=200, tol=0.03, segment=100,
+        )
+        np.testing.assert_allclose(z.mean(-1), 0.0, atol=1e-6)
+        np.testing.assert_allclose(z.std(-1), 1.0, atol=1e-5)
+        s = _scattering_stats_flat(jnp.asarray(z), jnp.asarray(bank.psi_hat),
+                                   J=J)
+        rms_check = np.sqrt(
+            np.asarray(((s - target[None]) ** 2).mean(-1)))
+        np.testing.assert_allclose(rms_check, rms, rtol=2e-2, atol=2e-4)
+        # a non-standardized target must NOT trigger the projection
+        assert not should_standardize(target.at[0].set(0.5))
+
     def test_compact_segment_matches_full(self, rng):
         """Gather->step->scatter on an active subset must match stepping the
         subset directly (to round-off: XLA reduction tiling may differ
