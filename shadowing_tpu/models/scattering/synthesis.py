@@ -461,48 +461,91 @@ def synthesize_batch(
                 print(f"  resumed synthesis from step {done} "
                       f"({batch - active.size}/{batch} already converged)",
                       flush=True)
-    while done < max_iterations and active.size:
-        # first segment long (nothing retires early), then fine-grained
-        # tail segments so converged seeds stop paying promptly
-        seg_now = segment if done == 0 else _tail_segment(segment)
-        n = min(seg_now, max_iterations - done)
-        if compact and active.size < batch:
-            nb = _bucket(active.size, sizes)
-            idx = np.resize(active, nb)  # pad by cycling the active rows
-            z, m, v, losses = _optimize_segment_compact(
-                z, m, v, jnp.asarray(idx, jnp.int32),
-                jnp.asarray(done, jnp.float32), target, psi,
-                J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
-                standardize=std,
-            )
-            rms_seg = np.sqrt(np.asarray(losses))[: active.size]
-            rms_full[active] = rms_seg
-            seed_steps += nb * n
+    # Selectively pipelined segment loop. Tail segments (small active set)
+    # are submitted one-segment-lagged: segment k+1 goes to the device on
+    # the retirement state known BEFORE segment k's losses are fetched, so
+    # the device queue stays fed through the per-segment host round trip
+    # (jax dispatch is async; fetching k's losses then overlaps k+1's
+    # execution — small-bucket segments compute in less than the ~27 ms
+    # sync, which would otherwise idle the device). Large-set segments
+    # harvest immediately: mass retirement happens there, and lagging it
+    # would pay every retiring seed one extra stale segment (measured +18%
+    # seed-steps when everything was lagged) for the same single RTT.
+    # Staleness in the tail costs each straggler at most one extra tail
+    # segment; a seed whose refreshed rms pops back above ``tol`` during
+    # its in-flight extra segment simply re-enters the active set.
+    # Harvest points are a deterministic function of the observed loss
+    # sequence, so checkpointed, uncheckpointed and resumed runs follow
+    # ONE schedule (resume bit-identity is tested); checkpoints are only
+    # written at flush points, where arrays/rms/active are consistent.
+    pending = None   # (losses, submitted active or None, nb, n, end step)
+    last_ckpt = done
+
+    def _harvest(p):
+        losses_p, act_p, nb_p, n_p, end_p = p
+        arr = np.sqrt(np.asarray(losses_p))
+        if act_p is None:
+            rms_full[:] = arr
+            act_p = np.arange(batch)
         else:
-            z, m, v, losses = _optimize_segment(
-                z, m, v, jnp.asarray(done, jnp.float32), target, psi,
-                J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
-                standardize=std,
-            )
-            rms_full[:] = np.sqrt(np.asarray(losses))
-            seed_steps += batch * n
-        done += n
-        if compact:
-            active = active[rms_full[active] >= tol]
-        else:
-            active = np.flatnonzero(rms_full >= tol)
-        if checkpoint_path is not None:
-            tmp = checkpoint_path.with_suffix(".tmp.npz")
-            np.savez(tmp, z=np.asarray(z), m=np.asarray(m), v=np.asarray(v),
-                     done=done, active=active, rms_full=rms_full)
-            tmp.replace(checkpoint_path)
+            rms_full[act_p] = arr[: act_p.size]
         if verbose:
             print(
-                f"  synthesis step {done:5d}: rms mismatch "
+                f"  synthesis step {end_p:5d}: rms mismatch "
                 f"median={np.median(rms_full):.4f} max={rms_full.max():.4f} "
-                f"| {batch - active.size}/{batch} converged",
+                f"| {int((rms_full < tol).sum())}/{batch} converged",
                 flush=True,
             )
+        if compact:
+            return act_p[rms_full[act_p] >= tol]
+        return np.flatnonzero(rms_full >= tol)
+
+    while (done < max_iterations and active.size) or pending is not None:
+        submitted = None
+        submit_size = 0
+        if done < max_iterations and active.size:
+            submit_size = active.size
+            # first segment long (nothing retires early), then fine-grained
+            # tail segments so converged seeds stop paying promptly
+            seg_now = segment if done == 0 else _tail_segment(segment)
+            n = min(seg_now, max_iterations - done)
+            if compact and active.size < batch:
+                nb = _bucket(active.size, sizes)
+                idx = np.resize(active, nb)  # pad by cycling active rows
+                z, m, v, losses = _optimize_segment_compact(
+                    z, m, v, jnp.asarray(idx, jnp.int32),
+                    jnp.asarray(done, jnp.float32), target, psi,
+                    J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
+                    standardize=std,
+                )
+                submitted = (losses, active.copy(), nb, n, done + n)
+            else:
+                z, m, v, losses = _optimize_segment(
+                    z, m, v, jnp.asarray(done, jnp.float32), target, psi,
+                    J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
+                    standardize=std,
+                )
+                submitted = (losses, None, batch, n, done + n)
+            done += n
+            seed_steps += submitted[2] * n
+        if pending is not None:
+            active = _harvest(pending)
+        pending = submitted
+        if pending is not None and (submit_size > batch // 4
+                                    or done - last_ckpt >= segment):
+            # flush: harvest the just-submitted segment now. Triggers:
+            # (a) large active set — retire at fresh boundaries, don't
+            # lag mass retirement; (b) every ``segment`` steps — bound
+            # pipeline depth so checkpoint state stays fresh.
+            active = _harvest(pending)
+            pending = None
+            last_ckpt = done
+            if checkpoint_path is not None:
+                tmp = checkpoint_path.with_suffix(".tmp.npz")
+                np.savez(tmp, z=np.asarray(z), m=np.asarray(m),
+                         v=np.asarray(v), done=done, active=active,
+                         rms_full=rms_full)
+                tmp.replace(checkpoint_path)
     if not np.isfinite(rms_full).all():
         # resumed exactly at the step budget: evaluate losses only
         _, _, _, losses = _optimize_segment(
