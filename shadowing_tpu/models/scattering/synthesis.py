@@ -21,6 +21,7 @@ gather -> Adam-scan -> scatter round trip is one jitted dispatch per segment
 """
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Tuple
 
@@ -354,6 +355,7 @@ def synthesize_batch(
     work_log: dict = None,
     mesh=None,
     init: str = "auto",
+    checkpoint_min_interval_s: float = 30.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesise ``batch`` series matching ``target`` statistics.
 
@@ -361,8 +363,16 @@ def synthesize_batch(
     The caller rescales by the target std / adds the target mean.
 
     :param checkpoint_path: optional ``.npz`` file; the optimiser state
-        (series, Adam moments, step count) is saved there after every
-        segment, so an interrupted long generation resumes mid-shard.
+        (series, Adam moments, step count) is saved there at pipeline
+        flushes, so an interrupted long generation resumes mid-shard.
+    :param checkpoint_min_interval_s: minimum wall seconds between
+        checkpoint WRITES (default 30). A write fetches the full
+        (z, m, v) state to the host (~12 MB at the production config —
+        ~0.4 s through the remote tunnel), which would multiply the cost
+        of a ~1 s TPU shard for restart granularity nobody needs; fast
+        shards therefore write no mid-shard state at all. Writes are pure
+        IO — skipping them cannot change results (the flush schedule does
+        not depend on them). Pass 0 to write at every flush.
     :param compact: retire converged seeds between segments (default).
         ``False`` reproduces the full-batch-until-all-converged schedule
         (kept for benchmarking the compaction gain).
@@ -480,6 +490,7 @@ def synthesize_batch(
     # written at flush points, where arrays/rms/active are consistent.
     pending = None   # (losses, submitted active or None, nb, n, end step)
     last_ckpt = done
+    last_save = time.monotonic()
 
     def _harvest(p):
         losses_p, act_p, nb_p, n_p, end_p = p
@@ -540,7 +551,9 @@ def synthesize_batch(
             active = _harvest(pending)
             pending = None
             last_ckpt = done
-            if checkpoint_path is not None:
+            if (checkpoint_path is not None and
+                    time.monotonic() - last_save >= checkpoint_min_interval_s):
+                last_save = time.monotonic()
                 tmp = checkpoint_path.with_suffix(".tmp.npz")
                 np.savez(tmp, z=np.asarray(z), m=np.asarray(m),
                          v=np.asarray(v), done=done, active=active,

@@ -280,13 +280,15 @@ class TestSynthesis:
         try:
             with pytest.raises(Stop):
                 synthesize_batch(jax.random.PRNGKey(5), **kw,
-                                 checkpoint_path=ck)
+                                 checkpoint_path=ck,
+                                 checkpoint_min_interval_s=0.0)
         finally:
             syn._optimize_segment = orig_full
             syn._optimize_segment_compact = orig_comp
         assert ck.exists()
         z_res, rms_res = synthesize_batch(jax.random.PRNGKey(5), **kw,
-                                          checkpoint_path=ck)
+                                          checkpoint_path=ck,
+                                          checkpoint_min_interval_s=0.0)
         np.testing.assert_array_equal(z_res, z_ref)
         np.testing.assert_array_equal(rms_res, rms_ref)
 
