@@ -59,6 +59,21 @@ class TestHedgedMC:
         v = smile.vols[0]
         assert v[0] > v[4] * 1.02 and v[-1] > v[4] * 1.02
 
+    def test_no_arbitrage_price_shape(self, rng):
+        """Hedged-MC call prices must be decreasing and convex in strike
+        with slope in [-1, 0] (static no-arbitrage) — the hedging control
+        variate keeps MC noise far below these margins."""
+        dt = 1 / 252
+        t5 = rng.standard_t(4, size=(16384, 25))
+        t5 /= t5.std()
+        x = PriceData(dlnx=0.2 * np.sqrt(dt) * t5, x_init=100.0).x
+        smile = compute_smile(x, Ts=[25], Ms=np.linspace(-2, 2, 11))
+        K = np.asarray(smile.strikes)[0]
+        P = np.asarray(smile.prices)[0]
+        dP = np.diff(P) / np.diff(K)
+        assert (dP < 0).all() and (dP > -1).all()   # monotone, slope bound
+        assert (np.diff(P, 2) > 0).all()            # convex in strike
+
     def test_weighted_measure(self, rng):
         """A Softmax measure concentrated on low-vol paths must lower the
         ATM implied vol vs uniform."""
