@@ -7,6 +7,7 @@ virtual devices, loads only its own global dataset row range from the
 must be identical across processes and equal to the single-process
 oracle. On a TPU pod slice the same code path only swaps the backend.
 """
+import os
 import socket
 import subprocess
 import sys
@@ -65,12 +66,17 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     worker.write_text(_WORKER)
     port = _free_port()
     repo = Path(__file__).parents[1]
+    # the workers execute a script from tmp_path, so the repo root is not
+    # on their sys.path (python adds the SCRIPT dir, not the cwd) — make
+    # the package importable without requiring an installed copy
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", str(port),
              str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=repo,
+            cwd=repo, env=env,
         )
         for i in range(2)
     ]
