@@ -22,14 +22,18 @@ pair (``E = Eh + El`` up to ~2^-18 relative). The in-kernel contraction
 computes ``xh@Eh + xl@Eh + xh@El`` with native-bf16 dots — the same error
 class as the Toeplitz kernel's bf16x3 scheme, so pass-2's certification
 guard (1e-5) applies unchanged. The three products ride TWO K-tile-1 dots
-by packing rows: ``[xh, xh] @ [Eh; El] + xl @ Eh``.
+by packing rows: ``[xh, xh] @ [Eh; El] + [xl, 0] @ [Eh; El]`` (the zero
+half costs MACs the MXU had idle anyway at K <= 128, and keeps both dots
+full-K — no sublane-offset slicing of the E block).
 
 Layout (the whole point — every step stays relayout-free on Mosaic):
 
-* ``E9`` is ``(NT, nblk, 2 * d8, L * TR)`` bf16 — grid-step ``(i, j)``
-  reads one ``(2 * d8, L * TR)`` 2-D block, rows ``[Eh(d8); El(d8)]``
-  (``d8`` = d padded to sublane multiples), columns ordered ``(l, r)``
-  with the trajectory-row ``r`` minor.
+* ``E9`` is ``(NT, nblk, 2 * dp, L * TR)`` bf16 — grid-step ``(i, j)``
+  reads one ``(2 * dp, L * TR)`` 2-D block, rows ``[Eh(dp); El(dp)]``
+  (``dp`` = d padded to a multiple of 4: only the STACKED ``2 * dp`` axis
+  is a Mosaic block dim, so it, not dp itself, must hit the 8-sublane
+  grain — d=20 stores 40 rows, not 48, saving ~17% of E9's HBM),
+  columns ordered ``(l, r)`` with the trajectory-row ``r`` minor.
 * the dot output ``cross (B, L * TR)`` then folds to per-row minima by 7
   CONTIGUOUS half-splits of the lane axis (l-major order makes every
   split tile-aligned) — no lane-strided reduce, no transpose.
@@ -59,19 +63,21 @@ from shadowing_tpu.ops.sliding import sliding_dot
 
 L = ps.L
 TR = 128          # trajectory rows per tile (lane dim of the folded minima)
-#: max embedding dimension: [xh, xh] packs 2 * d8 rows into one K tile
+#: max embedding dimension: [xh, xh] packs 2 * dp rows into one K tile
 MAX_DIM = 48
 
 
-def _d8(d: int) -> int:
-    return -(-d // 8) * 8
+def _dpad(d: int) -> int:
+    """d padded so the stacked [Eh; El] sublane axis (2 * dp) is a multiple
+    of 8 — i.e. dp is a multiple of 4, not 8 (saves 4 E9 rows at d=20)."""
+    return -(-d // 4) * 4
 
 
 def e9_bytes(R: int, n_out: int, d: int) -> int:
     """HBM bytes of the factored representation (bf16 hi/lo pair)."""
     rp = -(-R // TR) * TR
     nblk = -(-n_out // L)
-    return rp * nblk * L * 2 * _d8(d) * 2
+    return rp * nblk * L * 2 * _dpad(d) * 2
 
 
 @jax.jit
@@ -82,28 +88,28 @@ def build_factored(
 ) -> Tuple[jax.Array, jax.Array]:
     """Embedding responses in the kernel-ready blocked layout.
 
-    Returns ``E9 (NT, nblk, 2 * d8, L * TR)`` bf16 (rows ``[Eh; El]``,
+    Returns ``E9 (NT, nblk, 2 * dp, L * TR)`` bf16 (rows ``[Eh; El]``,
     cols ``(l, r)``) and ``n4 (NT, nblk, L * TR)`` f32 norms in the same
     column order.
     """
     Rp, C, cols = y3.shape
     d, _, w = kernel.shape
     nblk = n2.shape[1] // L
-    d8 = _d8(d)
+    dp = _dpad(d)
     if Rp % TR:
         raise ValueError(f"rows {Rp} must be padded to multiples of {TR}")
     NT = Rp // TR
-    kp = jnp.pad(kernel, ((0, d8 - d), (0, 0), (0, 0)))
+    kp = jnp.pad(kernel, ((0, dp - d), (0, 0), (0, 0)))
 
     def per_tile(y_t):                                   # (TR, C, cols)
         # HIGH matches the Toeplitz kernel's selection error class; the
         # hi/lo split below keeps ~2^-18 of it
         e = sliding_dot(y_t, kp, n_out=nblk * L,
-                        precision=jax.lax.Precision.HIGH)   # (TR, d8, nblk*L)
-        e = e.reshape(TR, d8, nblk, L).transpose(2, 1, 3, 0)  # (nblk,d8,L,TR)
+                        precision=jax.lax.Precision.HIGH)   # (TR, dp, nblk*L)
+        e = e.reshape(TR, dp, nblk, L).transpose(2, 1, 3, 0)  # (nblk,dp,L,TR)
         hi = e.astype(jnp.bfloat16)
         lo = (e - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return jnp.concatenate([hi, lo], axis=1).reshape(nblk, 2 * d8, L * TR)
+        return jnp.concatenate([hi, lo], axis=1).reshape(nblk, 2 * dp, L * TR)
 
     E9 = jax.lax.map(per_tile, y3.reshape(NT, TR, C, cols))
     # 4-D with a singleton sublane dim: Mosaic requires the last two BLOCK
@@ -117,7 +123,7 @@ def build_factored(
     return E9, n4
 
 
-def _make_kernel(d8: int):
+def _make_kernel():
     dot = partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -125,10 +131,11 @@ def _make_kernel(d8: int):
         precision=jax.lax.Precision.DEFAULT,
     )
 
-    def kernel(e_ref, n_ref, xhh_ref, xl_ref, out_ref):
-        e = e_ref[0, 0]                                  # (2*d8, L*TR) bf16
-        # xh@Eh + xh@El (one packed dot) + xl@Eh
-        cross = dot(xhh_ref[...], e) + dot(xl_ref[...], e[:d8])
+    def kernel(e_ref, n_ref, xhh_ref, xlz_ref, out_ref):
+        e = e_ref[0, 0]                                  # (2*dp, L*TR) bf16
+        # xh@Eh + xh@El (one packed dot) + xl@Eh ([xl, 0] against the same
+        # block: both dots full-K, no sublane-offset slice of e)
+        cross = dot(xhh_ref[...], e) + dot(xlz_ref[...], e)
         s = n_ref[0, 0] - 2.0 * cross                    # (B, L*TR)
         h = L // 2
         while h:                                         # l-major half folds
@@ -145,40 +152,41 @@ _B_KERNEL = 128
 
 @partial(jax.jit, static_argnames=("interpret",))
 def score_blockmin_factored(
-    E9: jax.Array,       # (NT, nblk, 2 * d8, L * TR) bf16
+    E9: jax.Array,       # (NT, nblk, 2 * dp, L * TR) bf16
     n4: jax.Array,       # (NT, nblk, 1, L * TR) f32
     x_emb: jax.Array,    # (B, d) f32 context embeddings
     interpret: bool = False,
 ) -> jax.Array:          # (B, nblk, Rp) block minima, j-major layout
     NT, nblk, dd, N = E9.shape
-    d8 = dd // 2
+    dp = dd // 2
     B, d = x_emb.shape
     bpad = (-B) % 8          # sublane-align the context axis (out blocks)
-    xp = jnp.pad(x_emb, ((0, bpad), (0, d8 - d)))
+    xp = jnp.pad(x_emb, ((0, bpad), (0, dp - d)))
     xh = xp.astype(jnp.bfloat16)
     xl = (xp - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    xhh = jnp.concatenate([xh, xh], axis=1)              # (B, 2*d8)
+    xhh = jnp.concatenate([xh, xh], axis=1)              # (B, 2*dp)
+    xlz = jnp.concatenate([xl, jnp.zeros_like(xl)], axis=1)
 
-    def run(xhh_c, xl_c):
+    def run(xhh_c, xlz_c):
         # output is (nblk, Bc, Rp): a (1, Bc, TR) block keeps the last two
         # BLOCK dims (Bc div 8, TR = 128) Mosaic-legal
         Bc = xhh_c.shape[0]
         return pl.pallas_call(
-            _make_kernel(d8),
+            _make_kernel(),
             grid=(NT, nblk),
             in_specs=[
-                pl.BlockSpec((1, 1, 2 * d8, N), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 2 * dp, N), lambda i, j: (i, j, 0, 0)),
                 pl.BlockSpec((1, 1, 1, N), lambda i, j: (i, j, 0, 0)),
-                pl.BlockSpec((Bc, 2 * d8), lambda i, j: (0, 0)),
-                pl.BlockSpec((Bc, d8), lambda i, j: (0, 0)),
+                pl.BlockSpec((Bc, 2 * dp), lambda i, j: (0, 0)),
+                pl.BlockSpec((Bc, 2 * dp), lambda i, j: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Bc, TR), lambda i, j: (j, 0, i)),
             out_shape=jax.ShapeDtypeStruct((nblk, Bc, NT * TR), jnp.float32),
             interpret=interpret,
-        )(E9, n4, xhh_c, xl_c)
+        )(E9, n4, xhh_c, xlz_c)
 
     parts = [
-        run(xhh[b0 : b0 + _B_KERNEL], xl[b0 : b0 + _B_KERNEL])
+        run(xhh[b0 : b0 + _B_KERNEL], xlz[b0 : b0 + _B_KERNEL])
         for b0 in range(0, B + bpad, _B_KERNEL)
     ]
     bmin = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)

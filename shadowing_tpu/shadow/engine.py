@@ -504,6 +504,20 @@ class PathShadowing:
         self._padded = None                       # cached pallas pad views
         self._factored = None                     # cached (E9, n4) responses
         self._R: Optional[int] = n_trajectories   # true trajectory count
+        #: routing diagnostics: one line per distinct auto-routing decision
+        #: (method picked, gates granted/declined with their byte math).
+        #: Inspect after a search, or set SHADOWING_TPU_ROUTE_LOG=1 to print
+        #: each line to stderr as it is first recorded.
+        self.routing_log: list = []
+
+    def _log_route(self, msg: str) -> None:
+        if msg in self.routing_log:
+            return  # routing state is engine-static: record each line once
+        self.routing_log.append(msg)
+        if os.environ.get("SHADOWING_TPU_ROUTE_LOG", "0") not in ("", "0"):
+            import sys
+
+            print(f"[route] {msg}", file=sys.stderr, flush=True)
 
     # -- device state ----------------------------------------------------
     @property
@@ -572,19 +586,34 @@ class PathShadowing:
         channel count, any k), and a pass-2 *padded* id space that fits int32
         (it exceeds ``R * n_out`` by row/block padding — fall back to the
         scan path near the boundary instead of wrapping ids)."""
-        if not (
-            (jax.default_backend() == "tpu" or pallas_search.force_interpret())
-            and self.distance.supports_expansion
-            and kernel.shape[-1] <= pallas_search.MAX_WIDTH
-            and self.distance.pallas_score_form
-        ):
+        if not (jax.default_backend() == "tpu"
+                or pallas_search.force_interpret()):
+            self._log_route("pallas declined: backend is not TPU (and "
+                            "SHADOWING_TPU_PALLAS_INTERPRET is off)")
+            return False
+        if not (self.distance.supports_expansion
+                and self.distance.pallas_score_form):
+            self._log_route(
+                f"pallas declined: distance {type(self.distance).__name__} "
+                "lacks the norm2 - 2*cross expansion form")
+            return False
+        if kernel.shape[-1] > pallas_search.MAX_WIDTH:
+            self._log_route(
+                f"pallas declined: filter width {kernel.shape[-1]} > "
+                f"MAX_WIDTH {pallas_search.MAX_WIDTH}")
             return False
         R = self.y.shape[0]
         if self.mesh is not None:
             R = R // self.mesh.shape["data"]
-        return pallas_search.padded_id_space(
+        ids = pallas_search.padded_id_space(
             R, kernel.shape[1], n_out, kernel.shape[-1]
-        ) < np.iinfo(np.int32).max
+        )
+        if ids >= np.iinfo(np.int32).max:
+            self._log_route(
+                f"pallas declined: padded id space {ids} >= int32 max "
+                f"(R={R}, n_out={n_out}) — falling back to the scan path")
+            return False
+        return True
 
     #: context batches at least this large route pass-1 through the
     #: factored-E kernel (its cost is ~flat in B while the Toeplitz
@@ -598,9 +627,18 @@ class PathShadowing:
         packed K tile, rows aligned to the factored tile, and an E that
         fits next to the dataset in device memory."""
         if os.environ.get("SHADOWING_TPU_NO_FACTORED", "0") not in ("", "0"):
+            self._log_route("factored declined: SHADOWING_TPU_NO_FACTORED")
             return False
         d, C, w = kernel.shape
-        if B < self.FACTORED_MIN_B or d > pallas_factored.MAX_DIM:
+        if B < self.FACTORED_MIN_B:
+            self._log_route(
+                f"factored declined: B={B} < FACTORED_MIN_B="
+                f"{self.FACTORED_MIN_B} (Toeplitz pass-1 wins at small B)")
+            return False
+        if d > pallas_factored.MAX_DIM:
+            self._log_route(
+                f"factored declined: embedding dim {d} > MAX_DIM="
+                f"{pallas_factored.MAX_DIM} (packed K tile)")
             return False
         # all sizes per DEVICE: in mesh mode each device holds (and pads)
         # only its own row shard
@@ -608,17 +646,31 @@ class PathShadowing:
         if self.mesh is not None:
             R = R // self.mesh.shape["data"]
         if pallas_search.padded_rows(R, C, n_out, w) % pallas_factored.TR:
+            self._log_route(
+                f"factored declined: padded rows "
+                f"{pallas_search.padded_rows(R, C, n_out, w)} not a "
+                f"multiple of the factored tile TR={pallas_factored.TR}")
             return False
         # memory gate: E9 + the other residents (dataset + pad views +
         # window norms + n4, ~5x the dataset at typical horizons) + >= 2 GB
         # working headroom must fit the device (_memory_budget() is a
         # quarter of the device limit; extraction scratch shrinks to the
-        # leftover via _scratch_budget). The 12 GB backtest-config E9 fits
-        # a 16 GB v5e this way — verified live.
+        # leftover via _scratch_budget). The backtest-config E9 (10.8 GB
+        # at d=20 after the dp=4-grain padding trim) fits a 16 GB v5e.
+        e9 = pallas_factored.e9_bytes(R, n_out, d)
         resident = 5 * R * C * dim_bct(self.dataset).shape[-1] * 4
         limit = 4 * _memory_budget()
-        return (pallas_factored.e9_bytes(R, n_out, d)
-                <= limit - resident - (2 << 30))
+        free = limit - resident - (2 << 30)
+        if e9 > free:
+            self._log_route(
+                f"factored declined: E9 needs {e9 / 1e9:.2f} GB but only "
+                f"{free / 1e9:.2f} GB free (device limit {limit / 1e9:.2f} "
+                f"GB - residents {resident / 1e9:.2f} GB - 2 GB headroom)")
+            return False
+        self._log_route(
+            f"factored pass-1 routed: B={B}, E9={e9 / 1e9:.2f} GB of "
+            f"{free / 1e9:.2f} GB free (device limit {limit / 1e9:.2f} GB)")
+        return True
 
     def _scratch_budget(self) -> Optional[int]:
         """Byte budget for extraction scratch (the one-hot shift operators
@@ -810,10 +862,17 @@ class PathShadowing:
             )
         if n_splits is None:
             n_splits = self._auto_splits(B, n_out, d, method)
+            if method not in ("pallas",):  # pallas tiles via its own grid
+                self._log_route(
+                    f"auto n_splits={n_splits} for method={method} "
+                    f"(B={B}, n_out={n_out}, d={d}, "
+                    f"budget={_memory_budget() / 1e9:.2f} GB)")
         # each chunk must hold at least k candidates (chunk-local top-k),
         # so clamp user/auto splits — the split-invariance contract says any
         # n_splits returns identical results, never an opaque top_k error
         n_splits = max(1, min(n_splits, (self.R * n_out) // k))
+        self._log_route(f"method={method} (B={B}, k={k}, R={self.R}, "
+                        f"n_out={n_out}, mesh={'none' if self.mesh is None else dict(self.mesh.shape)})")
 
         y = self.y
         # flat candidate ids (traj * n_out + t) are GLOBAL int32 in both

@@ -170,8 +170,54 @@ def test_engine_kill_switch(rng, monkeypatch):
 
 
 def test_e9_bytes():
-    # backtest config: 32768 rows, ~3.8k starts, d=20 -> ~12 GB
-    assert 10 << 30 < e9_bytes(32768, 3825, 20) < 14 << 30
+    # backtest config: 32768 rows, ~3.8k starts, d=20. The stacked-axis
+    # padding grain (dp = multiple of 4, not 8) stores 40 rows, not 48:
+    # 32768 * 30 blocks * 128 * 40 rows * 2 B = 10.07 GB — must fit a
+    # 16 GB v5e next to the ~2.6 GB residents + 2 GB headroom
+    assert e9_bytes(32768, 3825, 20) == 32768 * 30 * 128 * 2 * 20 * 2
+    # a dim not on the 4-grain pads up (d=7 -> dp=8)
+    assert e9_bytes(256, 3825, 7) == 256 * 30 * 128 * 2 * 8 * 2
+
+
+def test_two_pass_factored_backtest_dim(rng):
+    """d=20 (the backtest embedding dim): dp=20 exercises the 4-grain
+    (non-8-multiple) padding path end to end."""
+    check_factored(make_problem(rng, R=256, T=500, w=20, d=20, B=8), k=32)
+
+
+def test_routing_log_reasons(rng, monkeypatch):
+    """Auto-routing decisions leave one structured reason line each; a
+    forced decline names the gate that declined (with its byte math)."""
+    import shadowing_tpu.shadow.engine as eng
+
+    monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+    dataset = rng.normal(0, 0.02, size=(48, 1, 300)).astype(np.float32)
+    ctx = np.repeat(dataset[[2], :, 30:54], 9, axis=0)
+
+    # small-B decline
+    obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                        PredictionContext(horizon=16))
+    obj.shadow(ctx[:1], k=8, method="pallas")
+    assert any("factored declined: B=1 < FACTORED_MIN_B" in s
+               for s in obj.routing_log), obj.routing_log
+
+    # memory-gate decline: shrink the budget so E9 cannot fit
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(eng, "_memory_budget", lambda: 1 << 20)
+        obj2 = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                             PredictionContext(horizon=16))
+        obj2.shadow(ctx, k=8, method="pallas")
+        assert obj2._factored is None
+        assert any("factored declined: E9 needs" in s and "GB free" in s
+                   for s in obj2.routing_log), obj2.routing_log
+
+    # granted: the reason records the byte math; method line present
+    obj3 = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                         PredictionContext(horizon=16))
+    obj3.shadow(ctx, k=8, method="pallas")
+    assert any(s.startswith("factored pass-1 routed:")
+               for s in obj3.routing_log), obj3.routing_log
+    assert any(s.startswith("method=pallas") for s in obj3.routing_log)
 
 
 def test_scratch_budget(rng, monkeypatch):
