@@ -84,14 +84,32 @@ def _hmc_prices(
     payoff = jnp.maximum(paths[:, -1][:, None] - strikes[None, :], 0.0)
     c_next = payoff * disc_t[-1]                 # (N, nK)
 
-    q = jnp.linspace(0.0, 1.0, n_basis)
+    # Per-step regression knots WITHOUT per-step sorts: ``jnp.quantile``
+    # inside the scan body is a length-N sort per backward step (a slow
+    # multi-pass vector-unit codepath on TPU that dominates the smile at
+    # k ~ 16384 x 75 steps). Replace the empirical quantiles by their
+    # lognormal-moment approximation: knots_t = exp(mu_t + sig_t * g) with
+    # (mu, sig) the per-step log-price moments (ONE fused pass over the
+    # (N, T) block, outside the scan) and ``g`` the standard-normal
+    # quantiles of the same grid (clipped to +-4.26 sigma, the expected
+    # extreme of ~1e5 Gaussian draws, standing in for the min/max knots).
+    # The knots only define the hat REGRESSION basis — any increasing grid
+    # covering the mass is unbiased — and GBM paths (the Black-Scholes
+    # parity tests) make the approximation exact in distribution.
+    ln_s = jnp.log(jnp.maximum(paths[:, 1:T], 1e-30))        # (N, T-1)
+    mu_t = ln_s.mean(axis=0)
+    sig_t = jnp.maximum(ln_s.std(axis=0), 1e-7)
+    g = jax.scipy.special.ndtri(
+        jnp.clip(jnp.linspace(0.0, 1.0, n_basis), 1e-5, 1.0 - 1e-5)
+    )
+    knots_all = jnp.exp(mu_t[:, None] + sig_t[:, None] * g[None])  # (T-1, m)
     w_sqrt = jnp.sqrt(weights)[:, None]
 
-    def backward(c_next, t):
+    def backward(c_next, xs):
+        t, knots = xs
         s_t = paths[:, t]
         ds = s_tilde[:, t + 1] - s_tilde[:, t]
-        knots = jnp.quantile(s_t, q)
-        # enforce strictly increasing knots (duplicates at t=0 or ties)
+        # enforce strictly increasing knots (ties when sig_t ~ 0 near t=0)
         knots = knots + jnp.arange(n_basis) * 1e-6 * (knots[-1] - knots[0] + 1.0)
         B = _hat_basis(s_t, knots)                            # (N, m)
         A = jnp.concatenate([B, B * ds[:, None]], axis=1)     # (N, 2m)
@@ -104,7 +122,8 @@ def _hmc_prices(
         return c_t, None
 
     # scan t = T-1 .. 1 (the t=0 step is degenerate: all S_0 equal)
-    c1, _ = jax.lax.scan(backward, c_next, jnp.arange(T - 1, 0, -1))
+    ts = jnp.arange(T - 1, 0, -1)
+    c1, _ = jax.lax.scan(backward, c_next, (ts, knots_all[ts - 1]))
 
     # final step: C_0 scalar and scalar hedge phi_0
     ds0 = s_tilde[:, 1] - s_tilde[:, 0]
