@@ -40,6 +40,11 @@ def get_args():
                         help="seeds optimised together per device batch")
     parser.add_argument("--start", default="03-01-2000")
     parser.add_argument("--end", default="31-12-2014")
+    parser.add_argument("--data", type=Path, default=None,
+                        help="calibration series as an snp_daily-schema .npz "
+                        "(produce one from a real date,close CSV with "
+                        "shadowing_tpu.cli.ingest_prices); default: the "
+                        "bundled synthetic stand-in")
     parser.add_argument("--cache", type=Path,
                         default=Path(__file__).parents[2] / "_cache"
                         / "snp_generation")
@@ -60,7 +65,7 @@ def main():
 
     initialize()  # no-op single-host; joins the pod slice otherwise
     ntot, tid = task_split(args.ntot, args.tid)
-    snp = SPDaily(start=args.start, end=args.end)
+    snp = SPDaily(start=args.start, end=args.end, path=args.data)
     r_task = args.R // ntot
     out_file = Path(args.cache) / f"task{tid:05d}_R{r_task}.npy"
     out_file.parent.mkdir(parents=True, exist_ok=True)

@@ -103,3 +103,87 @@ class TestSPDaily:
         snp = SPDaily()
         ann_vol = snp.dlnx.std() * np.sqrt(252)
         assert 0.1 < ann_vol < 0.4
+
+
+class TestIngestPrices:
+    """CSV -> snp_daily.npz -> SPDaily(path=...) -> generate: the turnkey
+    real-data seam (a user with the actual S&P csv reproduces the reference
+    workflow, snp_generation.py:32 semantics, in one command)."""
+
+    def _write_csv(self, tmp_path, rng, n=300, start="1999-12-20"):
+        import pandas as pd
+
+        dts = pd.bdate_range(start, periods=n)
+        x = 1300.0 * np.exp(np.cumsum(rng.normal(0.0002, 0.01, size=n)))
+        csv = tmp_path / "prices.csv"
+        pd.DataFrame({"Date": dts.strftime("%Y-%m-%d"), "Close": x}).to_csv(
+            csv, index=False
+        )
+        return csv, dts, x
+
+    def test_roundtrip_and_date_conventions(self, tmp_path, rng):
+        from shadowing_tpu.cli.ingest_prices import ingest_csv
+
+        csv, dts, x = self._write_csv(tmp_path, rng)
+        out = ingest_csv(csv, tmp_path / "snp.npz")  # case-insensitive cols
+
+        snp = SPDaily(path=out)
+        # returns anchor at the first price; dates are the RETURN dates
+        np.testing.assert_allclose(
+            np.ravel(snp.dlnx), np.diff(np.log(x)), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(np.ravel(snp.x)[0], x[0], rtol=1e-9)
+        assert (snp.dts == dts[1:]).all()
+
+        # the reference's exact day-first filtering convention
+        sub = SPDaily(start="03-01-2000", end="31-12-2014", path=out)
+        assert sub.dts[0] >= np.datetime64("2000-01-03")
+        assert (np.ravel(sub.dlnx) == np.ravel(snp.dlnx)[-len(sub.dts):]).all()
+
+    def test_feeds_generate_target_estimation(self, tmp_path, rng):
+        from shadowing_tpu import generate
+        from shadowing_tpu.cli.ingest_prices import ingest_csv
+
+        csv, _, _ = self._write_csv(tmp_path, rng, n=260)
+        out = ingest_csv(csv, tmp_path / "snp.npz")
+        snp = SPDaily(start="03-01-2000", path=out)
+        paths = generate(snp, R=2, J=4, T=256, max_iterations=8,
+                         tol_optim=0.5)
+        assert paths.shape == (2, 1, 256)
+        assert np.isfinite(paths).all()
+        # output rescaled to the observed series' mean/std scale
+        assert 0.3 < paths.std() / np.ravel(snp.dlnx).std() < 3.0
+
+    def test_rejects_bad_input(self, tmp_path, rng):
+        import pandas as pd
+
+        from shadowing_tpu.cli.ingest_prices import ingest_csv
+
+        csv, dts, x = self._write_csv(tmp_path, rng, n=10)
+        with pytest.raises(ValueError, match="not in CSV"):
+            ingest_csv(csv, tmp_path / "o.npz", close_col="px")
+
+        dup = pd.read_csv(csv)
+        pd.concat([dup, dup.iloc[[3]]]).to_csv(tmp_path / "dup.csv",
+                                               index=False)
+        with pytest.raises(ValueError, match="duplicate dates"):
+            ingest_csv(tmp_path / "dup.csv", tmp_path / "o.npz")
+
+        bad = pd.read_csv(csv)
+        bad.loc[4, "Close"] = -3.0
+        bad.to_csv(tmp_path / "neg.csv", index=False)
+        with pytest.raises(ValueError, match="non-positive"):
+            ingest_csv(tmp_path / "neg.csv", tmp_path / "o.npz")
+
+    def test_unsorted_csv_is_sorted(self, tmp_path, rng):
+        import pandas as pd
+
+        from shadowing_tpu.cli.ingest_prices import ingest_csv
+
+        csv, dts, x = self._write_csv(tmp_path, rng, n=50)
+        df = pd.read_csv(csv).sample(frac=1.0, random_state=0)
+        df.to_csv(tmp_path / "shuf.csv", index=False)
+        a = np.load(ingest_csv(csv, tmp_path / "a.npz"))
+        b = np.load(ingest_csv(tmp_path / "shuf.csv", tmp_path / "b.npz"))
+        np.testing.assert_array_equal(a["dlnx"], b["dlnx"])
+        np.testing.assert_array_equal(a["days"], b["days"])
