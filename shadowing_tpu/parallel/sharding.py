@@ -118,11 +118,24 @@ def sharded_window_norms(
     )(y)
 
 
+#: trace-time record of the last ICI k-merge's gathered payload (per
+#: device): ``{"bytes": int, "shape": (n_dev, B, k_loc)}``. Shapes are
+#: static, so this is written when a merge TRACES (not per dispatch) —
+#: enough for dry-runs (__graft_entry__.dryrun_multichip) to assert the
+#: collective payload stays O(B * k * n_dev), independent of R.
+LAST_MERGE_PAYLOAD: dict = {}
+
+
 def _ici_topk_merge(vals, idx, k):
     """Gather every device's (B, k_loc) candidates over ICI and take the
     exact global k-smallest (payload O(B * k * devices), independent of R)."""
     vals_all = jax.lax.all_gather(vals, DATA_AXIS)       # (n_dev, B, k_loc)
     idx_all = jax.lax.all_gather(idx, DATA_AXIS)
+    LAST_MERGE_PAYLOAD["shape"] = tuple(vals_all.shape)
+    LAST_MERGE_PAYLOAD["bytes"] = (
+        vals_all.size * vals_all.dtype.itemsize
+        + idx_all.size * idx_all.dtype.itemsize
+    )
     B = vals.shape[0]
     vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(B, -1)
     idx_all = jnp.moveaxis(idx_all, 0, 1).reshape(B, -1)
@@ -296,7 +309,7 @@ def sharded_build_factored(
     static_argnames=("k", "n_out", "r_loc", "mesh", "cap", "interpret"),
 )
 def sharded_factored_search(
-    E9: jax.Array,         # (NT, nblk, 2*d8, L*TR) sharded on NT
+    E9: jax.Array,         # (NT, nblk, 2*dp, L*TR) sharded on NT
     n4: jax.Array,         # (NT, nblk, 1, L*TR) sharded on NT
     y3: jax.Array,         # (Rp, C, cols) sharded (pass-2 rescore)
     n2: jax.Array,         # (Rp, nblk * L) sharded
