@@ -70,7 +70,11 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     # on their sys.path (python adds the SCRIPT dir, not the cwd) — make
     # the package importable without requiring an installed copy
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    # no trailing separator when PYTHONPATH is unset: an empty entry means
+    # "current directory" on sys.path, silently widening the import path
+    env["PYTHONPATH"] = os.pathsep.join(
+        filter(None, [str(repo), env.get("PYTHONPATH")])
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", str(port),
