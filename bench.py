@@ -172,13 +172,10 @@ def bench_generation():
     from shadowing_tpu import SPDaily
     from shadowing_tpu.models.scattering.moments import scattering_stats
     from shadowing_tpu.models.scattering.synthesis import (
-        _bucket_sizes,
         _optimize_segment,
-        _optimize_segment_compact,
-        _tail_segment,
-        default_lr_schedule,
         should_standardize,
         synthesize_batch,
+        warmup_executables,
     )
     from shadowing_tpu.models.scattering.wavelets import build_filter_bank
 
@@ -202,27 +199,20 @@ def bench_generation():
         return time.perf_counter() - t0, rms, wl
 
     dt_cold, _, _ = run(0)
-    # warm the jit call cache for every bucket shape the compacted runs can
-    # visit (one short call each), then one untimed full run: the axon
-    # remote backend pays a large one-off program-load cost on the first
-    # dispatch after compilation, and its executables never hit the
-    # persistent cache (observed: only CPU entries are written), so steady
-    # state starts at the second full pass within the process
-    z0 = jnp.zeros((batch, T), jnp.float32)
-    psi = jnp.asarray(bank.psi_hat)
-    # lr is a STATIC jit arg: warm with the exact schedule tuple the timed
-    # runs use (synthesize_batch's lr=None default), else the warm-up
-    # compiles executables the measurement never dispatches
-    lr_sched = default_lr_schedule(max_iter)
+    # warm the jit call cache for every executable shape the runs (both
+    # compact and the no-compaction baseline) can dispatch, then one
+    # untimed full run: the axon remote backend pays a large one-off
+    # program-load cost on the first dispatch after compilation, and its
+    # executables never hit the persistent cache (observed: only CPU
+    # entries are written), so steady state starts at the second full
+    # pass within the process
     std = should_standardize(target)
-    for nb in _bucket_sizes(batch):
-        # tail segments are what the compact path actually dispatches
-        out = _optimize_segment_compact(
-            z0, z0, z0, jnp.zeros((nb,), jnp.int32), jnp.asarray(0.0),
-            target, psi, J=J, n_steps=_tail_segment(seg), lr=lr_sched,
-            bands=bank.band_hi or None, standardize=std,
-        )
-        np.asarray(out[-1])
+    n_exec = sum(
+        warmup_executables(target, bank, batch, segment=seg,
+                           max_iterations=max_iter, compact=c)
+        for c in (True, False)
+    )
+    log(f"[gen] warmed {n_exec} segment executables")
     dt_pipe, _, _ = run(99)
     log(f"[gen] cold (compiles + warm-up): {dt_cold:.1f}s, "
         f"pipe-cleaner run: {dt_pipe:.1f}s")
@@ -307,8 +297,8 @@ def bench_generation():
         log(f"[gen] roofline: measured {tpu_seed_step_s*1e6:.1f} us/seed-step"
             f" vs ~{floor*1e6:.1f} us HBM floor ({passes} (B,J,T) passes at "
             f"{hbm:.0f} GB/s) -> {floor/tpu_seed_step_s:.0%} of roofline "
-            f"(includes segment-end evals, compaction gathers and "
-            f"small-bucket underutilisation)")
+            f"(wall includes the seed init, per-segment sync round trips, "
+            f"sub-128-row drain buckets and the 4 MB output fetch)")
     return {
         "gen_paths_per_s": round(pps, 2),
         "gen_vs_cpu": round(gen_vs_cpu, 1) if gen_vs_cpu else None,
@@ -336,8 +326,15 @@ def bench_backtest():
     series = (rng.standard_normal(n_dates + w + 20 - 1) * 0.011).astype(
         np.float32
     )
+    mesh = None
+    if os.environ.get("BENCH_MESH"):
+        from shadowing_tpu.parallel.sharding import data_mesh
+
+        mesh = data_mesh(int(os.environ["BENCH_MESH"]))
+        log(f"[backtest] mesh mode: {mesh.shape}")
     obj = PathShadowing(
-        Identity(w), RelativeMSE(), dataset, PredictionContext(horizon=20)
+        Identity(w), RelativeMSE(), dataset, PredictionContext(horizon=20),
+        mesh=mesh,
     )
 
     def run():
@@ -354,7 +351,37 @@ def bench_backtest():
     log(f"[backtest] warm {n_dates} dates (B={chunk} chunks, k=1024, "
         f"R=32768x4096): {t:.2f}s -> {rate:.0f} dates/s "
         f"(factored pass-1: {obj._factored is not None})")
-    return {"backtest_dates_per_s": round(rate)}
+    for line in obj.routing_log:
+        log(f"[backtest]   route: {line}")
+    out = {"backtest_dates_per_s": round(rate),
+           "backtest_factored": obj._factored is not None}
+
+    if mesh is None and os.environ.get("BENCH_SKIP_MESH") != "1":
+        # the mesh-mode backtest (BASELINE.md's v5p-pod row, shrunk to the
+        # chips present): same workload through the sharded engine
+        from shadowing_tpu.parallel.sharding import data_mesh
+
+        del obj  # free the E9 + pad views before a second engine builds its own
+        obj_m = PathShadowing(
+            Identity(w), RelativeMSE(), dataset,
+            PredictionContext(horizon=20), mesh=data_mesh(1),
+        )
+
+        def run_m():
+            return rolling_backtest(
+                obj_m, series, w=w, Ts=[5, 10, 20], k=1024,
+                n_context_splits=-(-n_dates // chunk),
+            )
+
+        t0 = time.perf_counter()
+        run_m()
+        log(f"[backtest] mesh=1 first call: {time.perf_counter()-t0:.1f}s")
+        t_m = median_time(run_m, n=3)
+        log(f"[backtest] warm mesh=1 engine: {t_m:.2f}s -> "
+            f"{n_dates / t_m:.0f} dates/s ({t_m / t:.2f}x single-device; "
+            f"factored: {obj_m._factored is not None})")
+        out["backtest_mesh1_dates_per_s"] = round(n_dates / t_m)
+    return out
 
 
 def calibrate_platform():

@@ -68,6 +68,11 @@ def _standardize(z):
     return z / z.std(axis=-1, keepdims=True)
 
 
+#: jitted twin for host-loop call sites (eager jnp ops each pay their own
+#: ~5 ms remote dispatch; one fused call pays one)
+_standardize_jit = jax.jit(_standardize)
+
+
 def should_standardize(target) -> bool:
     """True when the target's mean/logvar entries say "standardized series"
     (|mean| and |logvar| ~ 0) — then the in-loss projection of
@@ -125,8 +130,39 @@ def _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm=None,
     return z, m, v, per_seed_loss(stats)
 
 
+def _adam_scan_chunked(z, m, v, i0, target, psi_hat, J, n_steps, lr,
+                       use_mm=None, bands=None, standardize=False,
+                       chunk=0):
+    """:func:`_adam_scan`, row-chunked INSIDE the program when the batch
+    exceeds ``chunk`` rows: the (B, J, T) statistics chains run ~27%
+    faster per seed-step at B=128 than at B=256 on v5e (XLA's tiling of
+    the envelope chains degrades past 128 rows), and per-seed math is
+    independent, so the batch is reshaped to (nc, chunk, T) and the scan
+    ``lax.map``-ed over chunks — one dispatch, same executable count
+    (dispatching the chunks as separate device calls measured the same
+    speedup but doubled the tunnel's dispatch chain, which intermittently
+    stalled ~13 s mid-run). ``chunk=0`` (or an indivisible batch, or any
+    sharded/mesh run — the reshape would cross shards) keeps the plain
+    single-scan form."""
+    B = z.shape[0]
+    if not chunk or B <= chunk or B % chunk:
+        return _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr,
+                          use_mm, bands, standardize)
+    nc = B // chunk
+
+    def one(args):
+        zc, mc, vc = args
+        return _adam_scan(zc, mc, vc, i0, target, psi_hat, J, n_steps, lr,
+                          use_mm, bands, standardize)
+
+    r3 = lambda a: a.reshape(nc, chunk, a.shape[-1])
+    zc, mc, vc, lc = jax.lax.map(one, (r3(z), r3(m), r3(v)))
+    return (zc.reshape(z.shape), mc.reshape(m.shape), vc.reshape(v.shape),
+            lc.reshape(B))
+
+
 @partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm", "bands",
-                                   "standardize"))
+                                   "standardize", "chunk"))
 def _optimize_segment(
     z: jax.Array,          # (B, T) normalised series being optimised
     m: jax.Array,          # Adam state
@@ -140,14 +176,15 @@ def _optimize_segment(
     use_mm: bool = None,   # FFT impl for the stats (None: backend default)
     bands: tuple = None,   # per-scale support bins (FilterBank.band_hi)
     standardize: bool = False,  # see _adam_scan
+    chunk: int = 0,        # in-program row chunking (_adam_scan_chunked)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run ``n_steps`` Adam steps on the full batch; returns (z, m, v, loss)."""
-    return _adam_scan(z, m, v, i0, target, psi_hat, J, n_steps, lr, use_mm,
-                      bands, standardize)
+    return _adam_scan_chunked(z, m, v, i0, target, psi_hat, J, n_steps, lr,
+                              use_mm, bands, standardize, chunk)
 
 
 @partial(jax.jit, static_argnames=("J", "n_steps", "lr", "use_mm", "bands",
-                                   "standardize"))
+                                   "standardize", "chunk"))
 def _optimize_segment_compact(
     z_full: jax.Array,     # (batch, T) all seeds (converged ones frozen)
     m_full: jax.Array,
@@ -164,6 +201,7 @@ def _optimize_segment_compact(
     use_mm: bool = None,
     bands: tuple = None,
     standardize: bool = False,  # see _adam_scan
+    chunk: int = 0,        # in-program row chunking (_adam_scan_chunked)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather the active seeds, Adam-step them, scatter back — one dispatch.
 
@@ -171,9 +209,9 @@ def _optimize_segment_compact(
     to at most six bucket sizes so retirement never causes a recompile
     cascade.
     """
-    z, m, v, losses = _adam_scan(
+    z, m, v, losses = _adam_scan_chunked(
         z_full[idx], m_full[idx], v_full[idx], i0, target, psi_hat,
-        J, n_steps, lr, use_mm, bands, standardize,
+        J, n_steps, lr, use_mm, bands, standardize, chunk,
     )
     return (
         z_full.at[idx].set(z),
@@ -279,6 +317,26 @@ def _calibrated_seeds(key, batch, T, target, psi_hat, J, sq_oms, bands=None):
     return jnp.take_along_axis(cands, best[None, :, None], axis=0)[0]
 
 
+#: device-resident constants reused across synthesize_batch calls: every
+#: call used to re-upload the filter bank (~300 KB) and envelope spectra
+#:(~100 KB) through the tunnel — ~2-4 transfer round trips (~50-80 ms) per
+#: ~0.7 s production shard. Keyed by the deterministic build parameters.
+_DEV_CONST_CACHE: dict = {}
+
+
+def _dev_cached(key, build):
+    arr = _DEV_CONST_CACHE.get(key)
+    if arr is None or arr.is_deleted():
+        arr = build()
+        _DEV_CONST_CACHE[key] = arr
+    return arr
+
+
+def _psi_device(bank: FilterBank) -> jax.Array:
+    return _dev_cached(("psi", bank.T, bank.J),
+                       lambda: jnp.asarray(bank.psi_hat))
+
+
 def _auto_seeds(key, batch, T, target, psi_hat, J, bands=None):
     """Host wrapper: precompute the envelope circulant spectra (numpy FFTs,
     one per non-zero grid entry) and call the jitted candidate selection."""
@@ -287,11 +345,14 @@ def _auto_seeds(key, batch, T, target, psi_hat, J, bands=None):
         _omega_cov,
     )
 
-    lams = [l for l in _INIT_LAMBDAS if l > 0.0]
-    sq = [_circulant_sqrt_spectrum(_omega_cov(T, lam, T)) for lam in lams]
+    def build():
+        lams = [l for l in _INIT_LAMBDAS if l > 0.0]
+        sq = [_circulant_sqrt_spectrum(_omega_cov(T, lam, T)) for lam in lams]
+        return jnp.asarray(np.stack(sq), jnp.float32)
+
     return _calibrated_seeds(
         key, batch, T, target, psi_hat, J,
-        jnp.asarray(np.stack(sq), jnp.float32),
+        _dev_cached(("sq_oms", T), build),
         bands=bands,
     )
 
@@ -322,6 +383,36 @@ def _bucket(n: int, sizes: list) -> int:
     return sizes[0]
 
 
+#: in-program row-chunk size for segment executables: the (B, J, T)
+#: statistics chains run fastest at B=128 on v5e (measured 7.6 us/seed-step
+#: vs 9.6 at B=256 — XLA's tiling of the envelope chains degrades past 128
+#: rows), so bigger batches lax.map the Adam scan over 128-row chunks
+#: INSIDE one dispatch (see _adam_scan_chunked — separate per-chunk
+#: dispatches measured the same speedup but intermittently stalled ~13 s
+#: in the tunnel's lengthened dispatch chain). Mesh runs never chunk
+#: (the reshape would cross the batch sharding).
+_SEG_CHUNK = 128
+
+
+def _drain_factor(n_active: int, batch: int) -> int:
+    """Segment-length multiplier for the straggler drain.
+
+    Once the active set is a small fraction of the batch, a tail segment
+    computes in less than the ~27 ms dispatch round trip, so retirement
+    granularity buys nothing — the drain is sync-bound (measured: the last
+    ~5% of a 256-seed run spent ~0.2 s on 25-step nb=8/16 segments whose
+    compute is ~2 ms each). Lengthening drain segments cuts the syncs;
+    overstepping a seed that converges mid-segment costs only its own
+    tiny-bucket seed-steps. A pure function of the TRUE active count (not
+    the bucket size), so single-device and mesh runs keep identical
+    schedules (the mesh-invariance contract)."""
+    if n_active * 16 <= batch:
+        return 4
+    if n_active * 8 <= batch:
+        return 2
+    return 1
+
+
 def _tail_segment(segment: int) -> int:
     """Segment length after the first segment: ``segment // 4`` (>= 25).
 
@@ -338,6 +429,63 @@ def _tail_segment(segment: int) -> int:
     (one ``n_steps`` value each for full and tail). Exposed to bench.py so
     its warm-up compiles the same shapes."""
     return max(25, segment // 4)
+
+
+def warmup_executables(target, bank, batch: int, segment: int = 100,
+                       max_iterations: int = 1000, lr=None,
+                       compact: bool = True) -> int:
+    """Compile + program-load every single-device segment executable a
+    ``synthesize_batch`` run with these parameters can dispatch (one short
+    blocking call per distinct ``(rows, n_steps, path)`` key).
+
+    Warm-up code (bench.py) must hit the EXACT executables the timed runs
+    will: the axon backend pays a large one-off program-load on the first
+    dispatch after compilation and never persists TPU executables, so a
+    missed shape lands inside the measurement. Enumerates the dispatch
+    policy of the segment loop: bucketed shapes, the in-program row
+    chunking, and the drain-lengthened ``n_steps``
+    (:func:`_drain_factor`). Returns the number of executables touched.
+    Budget-cap remainder shapes (a run hitting ``max_iterations``
+    mid-segment) are not enumerable and stay cold. Mesh runs dispatch
+    differently (no chunking, sharded programs) — not covered.
+    """
+    if lr is None:
+        lr = default_lr_schedule(max_iterations)
+    std = should_standardize(target)
+    psi = _psi_device(bank)
+    z0 = jnp.zeros((batch, bank.T), jnp.float32)
+    bands = bank.band_hi or None
+    sizes = _bucket_sizes(batch)
+    tail = _tail_segment(segment)
+    seen = set()
+
+    def touch(nb, n, use_compact):
+        key = (nb, n, use_compact)
+        if key in seen:
+            return
+        seen.add(key)
+        if use_compact:
+            out = _optimize_segment_compact(
+                z0, z0, z0, jnp.zeros((nb,), jnp.int32), jnp.asarray(0, jnp.float32),
+                target, psi, J=bank.J, n_steps=n, lr=lr, bands=bands,
+                standardize=std, chunk=_SEG_CHUNK,
+            )
+        else:
+            out = _optimize_segment(
+                z0[:nb], z0[:nb], z0[:nb], jnp.asarray(0, jnp.float32), target, psi,
+                J=bank.J, n_steps=n, lr=lr, bands=bands, standardize=std,
+                chunk=_SEG_CHUNK,
+            )
+        np.asarray(out[-1][:1])  # block on a tiny fetch
+
+    touch(batch, min(segment, max_iterations), False)    # first segment
+    for a in range(1, batch + 1):                # every possible active size
+        n = tail * _drain_factor(a, batch)
+        if segment + n > max_iterations:
+            continue  # budget-cap remainders are not enumerable
+        use_c = compact and a < batch
+        touch(_bucket(a, sizes) if use_c else batch, n, use_c)
+    return len(seen)
 
 
 def synthesize_batch(
@@ -404,13 +552,14 @@ def synthesize_batch(
         (Phi_2-only matching, round-3 early behavior); ``"white"`` keeps
         the flat-spectrum start.
     """
+    t_start = time.monotonic()
     if lr is None:
         lr = default_lr_schedule(max_iterations)
     # standardized targets: match mean/logvar exactly by projection instead
     # of by gradient descent (see _adam_scan) — ~28% fewer seed-steps
     std = should_standardize(target)
     T = bank.T
-    psi = jnp.asarray(bank.psi_hat)
+    psi = _psi_device(bank)
     quantum = 1
     sharding = None
     if mesh is not None:
@@ -511,15 +660,23 @@ def synthesize_batch(
             return act_p[rms_full[act_p] >= tol]
         return np.flatnonzero(rms_full >= tol)
 
+    # NOTE on a rejected optimisation: prefetching retired rows to the host
+    # mid-drain (copy_to_host_async at a late flush) measured ZERO gain on
+    # the axon tunnel (the async copy is not actually asynchronous there)
+    # while adding a per-run-shaped refetch executable — removed.
     while (done < max_iterations and active.size) or pending is not None:
         submitted = None
         submit_size = 0
         if done < max_iterations and active.size:
             submit_size = active.size
             # first segment long (nothing retires early), then fine-grained
-            # tail segments so converged seeds stop paying promptly
-            seg_now = segment if done == 0 else _tail_segment(segment)
+            # tail segments so converged seeds stop paying promptly —
+            # lengthened again in the sync-bound drain (_drain_factor)
+            seg_now = (segment if done == 0 else
+                       _tail_segment(segment) * _drain_factor(active.size,
+                                                              batch))
             n = min(seg_now, max_iterations - done)
+            chunk = _SEG_CHUNK if sharding is None else 0
             if compact and active.size < batch:
                 nb = _bucket(active.size, sizes)
                 idx = np.resize(active, nb)  # pad by cycling active rows
@@ -527,14 +684,14 @@ def synthesize_batch(
                     z, m, v, jnp.asarray(idx, jnp.int32),
                     jnp.asarray(done, jnp.float32), target, psi,
                     J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
-                    standardize=std,
+                    standardize=std, chunk=chunk,
                 )
                 submitted = (losses, active.copy(), nb, n, done + n)
             else:
                 z, m, v, losses = _optimize_segment(
                     z, m, v, jnp.asarray(done, jnp.float32), target, psi,
                     J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
-                    standardize=std,
+                    standardize=std, chunk=chunk,
                 )
                 submitted = (losses, None, batch, n, done + n)
             done += n
@@ -570,11 +727,17 @@ def synthesize_batch(
     if work_log is not None:
         work_log["seed_steps"] = seed_steps
         work_log["steps"] = done
+        work_log["t_loop_s"] = time.monotonic() - t_start
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()  # shard finished: drop the mid-shard state
     if std:
         # the loss/rms describe the per-seed standardized series — return
         # exactly that (the raw variable may carry a residual mean/scale
         # the projection absorbed)
-        z = _standardize(z)
-    return np.asarray(z), rms_full
+        z = _standardize_jit(z)
+    out = np.asarray(z)
+    if work_log is not None:
+        # phase timestamps (observability: the loop/fetch split tells which
+        # side a regression lives on — the fetch rides the host tunnel)
+        work_log["t_total_s"] = time.monotonic() - t_start
+    return out, rms_full

@@ -91,18 +91,32 @@ def _hmc_prices(
     # lognormal-moment approximation: knots_t = exp(mu_t + sig_t * g) with
     # (mu, sig) the per-step log-price moments (ONE fused pass over the
     # (N, T) block, outside the scan) and ``g`` the standard-normal
-    # quantiles of the same grid (clipped to +-4.26 sigma, the expected
-    # extreme of ~1e5 Gaussian draws, standing in for the min/max knots).
-    # The knots only define the hat REGRESSION basis — any increasing grid
-    # covering the mass is unbiased — and GBM paths (the Black-Scholes
-    # parity tests) make the approximation exact in distribution.
-    ln_s = jnp.log(jnp.maximum(paths[:, 1:T], 1e-30))        # (N, T-1)
-    mu_t = ln_s.mean(axis=0)
-    sig_t = jnp.maximum(ln_s.std(axis=0), 1e-7)
-    g = jax.scipy.special.ndtri(
-        jnp.clip(jnp.linspace(0.0, 1.0, n_basis), 1e-5, 1.0 - 1e-5)
-    )
-    knots_all = jnp.exp(mu_t[:, None] + sig_t[:, None] * g[None])  # (T-1, m)
+    # quantiles of the same grid. The grid's 0/1 endpoints are clipped at
+    # 1/(2N) — the expected extreme of N draws — so the outer knots track
+    # the sample min/max the way the empirical quantiles did (a fixed wide
+    # clip left 12 knots spread over +-4.3 sigma for a 32-path problem,
+    # starving the bulk of basis resolution). The knots only define the
+    # hat REGRESSION basis — any increasing grid covering the mass is
+    # unbiased — and GBM paths (the Black-Scholes parity tests) make the
+    # approximation exact in distribution.
+    # Small path sets keep the exact empirical quantiles (vectorized over
+    # all steps in ONE call, still outside the scan): with N ~ tens of
+    # paths the moment grid can leave hat cells EMPTY (singular Gram ->
+    # NaN prices), while the occupancy-balanced quantiles cannot. The
+    # total sort work at small N is negligible; at scale the moment form
+    # is sort-free and distribution-exact for lognormal steps.
+    if N < 2048:
+        q = jnp.linspace(0.0, 1.0, n_basis)
+        knots_all = jnp.quantile(paths[:, 1:T], q, axis=0).T    # (T-1, m)
+    else:
+        ln_s = jnp.log(jnp.maximum(paths[:, 1:T], 1e-30))       # (N, T-1)
+        mu_t = ln_s.mean(axis=0)
+        sig_t = jnp.maximum(ln_s.std(axis=0), 1e-7)
+        eps = max(1.0 / (2 * N), 1e-6)
+        g = jax.scipy.special.ndtri(
+            jnp.clip(jnp.linspace(0.0, 1.0, n_basis), eps, 1.0 - eps)
+        )
+        knots_all = jnp.exp(mu_t[:, None] + sig_t[:, None] * g[None])
     w_sqrt = jnp.sqrt(weights)[:, None]
 
     def backward(c_next, xs):

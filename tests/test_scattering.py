@@ -544,3 +544,92 @@ class TestColouredInit:
         with pytest.raises(ValueError, match="init"):
             synthesize_batch(jax.random.PRNGKey(0), target, bank, batch=4,
                              max_iterations=10, init="pink")
+
+
+class TestWarmupExecutables:
+    def test_warmup_covers_every_run_executable(self, rng, monkeypatch):
+        """bench.py pre-warms via warmup_executables — its enumeration must
+        cover EVERY (rows, n_steps, path) executable a real run dispatches
+        (a missed shape lands its compile inside the measurement). Budget
+        exhaustion remainders are documented as non-enumerable; using a
+        tolerance the runs converge under keeps them out of this run."""
+        from shadowing_tpu.models.scattering import synthesis as syn
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(64, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+
+        keys = []
+        orig_c, orig_f = syn._optimize_segment_compact, syn._optimize_segment
+
+        def wrap_c(*a, **k):
+            keys.append((a[3].shape[0], k["n_steps"], True))
+            return orig_c(*a, **k)
+
+        def wrap_f(*a, **k):
+            keys.append((a[0].shape[0], k["n_steps"], False))
+            return orig_f(*a, **k)
+
+        monkeypatch.setattr(syn, "_optimize_segment_compact", wrap_c)
+        monkeypatch.setattr(syn, "_optimize_segment", wrap_f)
+
+        batch, seg, max_iter = 16, 40, 2000
+        for compact in (True, False):
+            keys.clear()
+            syn.warmup_executables(target, bank, batch, segment=seg,
+                                   max_iterations=max_iter, compact=compact)
+            warmed = set(keys)
+            keys.clear()
+            # the REAL coverage invariant: a run after warm-up must not
+            # trace (= compile) anything new. Python-level key recording
+            # misses jit-key subtleties (a weak-typed i0 scalar keyed a
+            # DIFFERENT executable than the run's strong-typed one and
+            # cost 13-29 s remote compiles inside timed runs — caught by
+            # exactly this assertion)
+            n_tr = (orig_c._cache_size(), orig_f._cache_size())
+            _, rms = syn.synthesize_batch(
+                jax.random.PRNGKey(3), target, bank, batch=batch,
+                max_iterations=max_iter, tol=0.05, segment=seg,
+                compact=compact,
+            )
+            assert (rms < 0.05).all(), "pick an easier tol for this test"
+            assert (orig_c._cache_size(), orig_f._cache_size()) == n_tr, \
+                "synthesize_batch traced executables the warm-up missed"
+            dispatched = set(keys) - {(batch, 0, False)}  # final-eval probe
+            missing = dispatched - warmed
+            assert not missing, f"run dispatched unwarmed executables {missing}"
+
+    def test_in_program_chunking_matches_plain(self, rng):
+        """The lax.map row-chunked segment (the >128-row executables'
+        internal form) steps each seed identically to the plain scan —
+        per-seed math is independent, so chunking is exact up to XLA
+        tiling round-off."""
+        from shadowing_tpu.models.scattering.synthesis import (
+            _optimize_segment,
+        )
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(64, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+        psi = jnp.asarray(bank.psi_hat)
+        z0 = jnp.asarray(rng.normal(size=(24, T)), jnp.float32)
+        zeros = jnp.zeros_like(z0)
+        kw = dict(target=target, psi_hat=psi, J=J, n_steps=10, lr=0.03,
+                  bands=bank.band_hi or None, standardize=True)
+        plain = _optimize_segment(z0, zeros, zeros, jnp.asarray(0.0),
+                                  chunk=0, **kw)
+        chunked = _optimize_segment(z0, zeros, zeros, jnp.asarray(0.0),
+                                    chunk=8, **kw)
+        for a, b in zip(plain, chunked):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+        # indivisible batches keep the plain form (still correct)
+        odd = _optimize_segment(z0[:23], zeros[:23], zeros[:23],
+                                jnp.asarray(0.0), chunk=8, **kw)
+        np.testing.assert_allclose(np.asarray(odd[0]),
+                                   np.asarray(plain[0][:23]),
+                                   rtol=2e-4, atol=2e-6)
