@@ -299,12 +299,43 @@ def bench_generation():
             f"{hbm:.0f} GB/s) -> {floor/tpu_seed_step_s:.0%} of roofline "
             f"(wall includes the seed init, per-segment sync round trips, "
             f"sub-128-row drain buckets and the 4 MB output fetch)")
+
+    # in-dispatch seed-step cost: K chained full-batch segments, ONE sync.
+    # Isolates the kernel from the tunnel costs wall time pays (27 ms RTT
+    # per drain sync, ~30 MB/s output fetch) — the gap between this and the
+    # wall figure above is environment overhead, not kernel inefficiency.
+    # Reuses the exact warmed (batch, segment, non-compact) executable.
+    from shadowing_tpu.models.scattering.synthesis import (
+        _SEG_CHUNK, _psi_device, default_lr_schedule)
+    lr = default_lr_schedule(max_iter)
+    psi = _psi_device(bank)
+    bands = bank.band_hi or None
+    zd = jnp.zeros((batch, T), jnp.float32)
+    md, vd = zd, zd
+    i0 = jnp.asarray(0, jnp.float32)
+    K = 3
+    t0 = time.perf_counter()
+    for _ in range(K):
+        zd, md, vd, ld = _optimize_segment(
+            zd, md, vd, i0, target, psi, J=J, n_steps=seg, lr=lr,
+            bands=bands, standardize=std, chunk=_SEG_CHUNK)
+    np.asarray(ld[:1])
+    disp_s = (time.perf_counter() - t0) / (K * seg * batch)
+    hbm = float(os.environ.get("BENCH_HBM_GBPS", "646"))
+    floor = 30 * J * T * 4 / (hbm * 1e9)
+    log(f"[gen] in-dispatch: {disp_s*1e6:.1f} us/seed-step ({K} chained "
+        f"{batch}x{seg}-step segments, one sync) -> "
+        f"{floor/disp_s:.0%} of the ~{floor*1e6:.1f} us HBM floor")
     return {
         "gen_paths_per_s": round(pps, 2),
         "gen_vs_cpu": round(gen_vs_cpu, 1) if gen_vs_cpu else None,
         "gen_rms_median": round(float(np.median(rms)), 4),
         "gen_converged_frac": round(conv, 3),
         "gen_compaction_speedup": round(dt_nc / t_warm, 2),
+        "gen_us_step_wall": round(t_warm / wl["seed_steps"] * 1e6, 1),
+        "gen_us_step_dispatch": round(disp_s * 1e6, 1),
+        "gen_dispatch_roofline": round(floor / disp_s, 2),
+        "gen_overlap_fetch": bool(wl.get("overlap_fetch")),
     }
 
 

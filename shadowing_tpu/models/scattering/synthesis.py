@@ -21,6 +21,7 @@ gather -> Adam-scan -> scatter round trip is one jitted dispatch per segment
 """
 from __future__ import annotations
 
+import threading
 import time
 from functools import partial
 from typing import Tuple
@@ -71,6 +72,16 @@ def _standardize(z):
 #: jitted twin for host-loop call sites (eager jnp ops each pay their own
 #: ~5 ms remote dispatch; one fused call pays one)
 _standardize_jit = jax.jit(_standardize)
+
+
+@jax.jit
+def _standardize_rows(z, idx):
+    """Standardized view of ``z[idx]`` — the end-of-run splice fetch for
+    rows still being optimised when the overlapped output snapshot was
+    taken (see ``synthesize_batch``). Single-axis ROW gather with a
+    contiguous last dim (the TPU-safe gather form; two-index gathers
+    scalarise)."""
+    return _standardize(z[idx])
 
 
 def should_standardize(target) -> bool:
@@ -485,6 +496,19 @@ def warmup_executables(target, bank, batch: int, segment: int = 100,
             continue  # budget-cap remainders are not enumerable
         use_c = compact and a < batch
         touch(_bucket(a, sizes) if use_c else batch, n, use_c)
+    if std:
+        # output-fetch executables: the full standardize (snapshot + the
+        # non-overlapped fallback) and, for compact runs, every bucket-
+        # padded splice gather the overlapped fetch can dispatch (the
+        # refetch set is the union of post-snapshot active sets — usually
+        # <= batch/4, but re-entries can push it into any bucket)
+        np.asarray(_standardize_jit(z0))
+        seen.add(("std", batch))
+        if compact and batch >= 4:
+            for s in sizes:
+                np.asarray(_standardize_rows(
+                    z0, jnp.zeros((s,), jnp.int32)))
+                seen.add(("std_rows", s))
     return len(seen)
 
 
@@ -504,6 +528,7 @@ def synthesize_batch(
     mesh=None,
     init: str = "auto",
     checkpoint_min_interval_s: float = 30.0,
+    overlap_fetch: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesise ``batch`` series matching ``target`` statistics.
 
@@ -551,6 +576,16 @@ def synthesize_batch(
         ``"coloured"`` by construction); ``"coloured"`` skips the envelope
         (Phi_2-only matching, round-3 early behavior); ``"white"`` keeps
         the flat-spectrum start.
+    :param overlap_fetch: fetch the output WHILE the straggler drain runs
+        (default). Once a submission's active set is <= batch/4, the full
+        standardized series is snapshot-fetched on a host thread (the 4 MB
+        production fetch costs ~140 ms through the remote tunnel; measured
+        to overlap fully with drain dispatches — tunnel probe, round 4);
+        the end-of-run fetch then shrinks to the still-active rows via a
+        bucket-padded row gather. Bit-identical output: standardization is
+        per-row and compact active sets shrink monotonically, so rows
+        outside the snapshot's active set are final (tested). ``False``
+        keeps the single end-of-run fetch (timing diagnostics).
     """
     t_start = time.monotonic()
     if lr is None:
@@ -589,6 +624,7 @@ def synthesize_batch(
         z = jax.device_put(z, sharding)
     m = jnp.zeros_like(z)
     v = jnp.zeros_like(z)
+    t_init = time.monotonic() - t_start  # seed build is submit-side only
 
     # Active-set compaction: converged seeds retire and stop costing
     # gradients; survivors are repacked into <= 6 bucketed shapes (bounded
@@ -640,10 +676,19 @@ def synthesize_batch(
     pending = None   # (losses, submitted active or None, nb, n, end step)
     last_ckpt = done
     last_save = time.monotonic()
+    # overlapped output snapshot (see the overlap_fetch docstring):
+    # (fetch thread, result box, mask of rows stepped at/after the snapshot)
+    snap = None
+    can_snap = (overlap_fetch and compact and std and sharding is None)
+
+    _tm = {"harvest_s": 0.0, "n_harvests": 0}
 
     def _harvest(p):
         losses_p, act_p, nb_p, n_p, end_p = p
+        t_h = time.monotonic()
         arr = np.sqrt(np.asarray(losses_p))
+        _tm["harvest_s"] += time.monotonic() - t_h
+        _tm["n_harvests"] += 1
         if act_p is None:
             rms_full[:] = arr
             act_p = np.arange(batch)
@@ -696,6 +741,30 @@ def synthesize_batch(
                 submitted = (losses, None, batch, n, done + n)
             done += n
             seed_steps += submitted[2] * n
+            if snap is not None and submitted[1] is not None:
+                # every row stepped after the snapshot must be refetched —
+                # including rare RE-ENTRIES (a retired row whose rms pops
+                # back above tol when its in-flight extra segment lands is
+                # re-activated, and need not be in the snapshot-trigger
+                # submission's active set)
+                snap[2][submitted[1]] = True
+            if (snap is None and can_snap and submitted[1] is not None
+                    and submit_size <= batch // 4):
+                # rows outside this submission's active set are final from
+                # here on (modulo the re-entry tracking above) — snapshot-
+                # fetch the whole standardized series on a thread; the
+                # drain's dispatches proceed underneath it
+                snap_dev = _standardize_jit(z)
+                box = {}
+                th = threading.Thread(
+                    target=lambda a=snap_dev: box.__setitem__(
+                        "out", np.asarray(a)),
+                    daemon=True,
+                )
+                th.start()
+                stepped = np.zeros(batch, bool)
+                stepped[submitted[1]] = True
+                snap = (th, box, stepped)
         if pending is not None:
             active = _harvest(pending)
         pending = submitted
@@ -728,16 +797,37 @@ def synthesize_batch(
         work_log["seed_steps"] = seed_steps
         work_log["steps"] = done
         work_log["t_loop_s"] = time.monotonic() - t_start
+        work_log["t_init_s"] = t_init
+        work_log["t_harvest_s"] = _tm["harvest_s"]
+        work_log["n_harvests"] = _tm["n_harvests"]
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()  # shard finished: drop the mid-shard state
-    if std:
-        # the loss/rms describe the per-seed standardized series — return
-        # exactly that (the raw variable may carry a residual mean/scale
-        # the projection absorbed)
-        z = _standardize_jit(z)
-    out = np.asarray(z)
+    t_fin = time.monotonic()
+    if snap is not None:
+        th, box, stepped = snap
+        still = np.flatnonzero(stepped)
+        # refetch ONLY the rows stepped at or after the snapshot (bucket-
+        # padded: static gather shapes only — per-run shapes pay a fresh
+        # remote compile inside every run)
+        nb = _bucket(still.size, sizes)
+        rows = np.asarray(_standardize_rows(
+            z, jnp.asarray(np.resize(still, nb), jnp.int32)))
+        th.join()
+        out = box["out"]
+        if not out.flags.writeable:
+            out = out.copy()
+        out[still] = rows[: still.size]
+    else:
+        if std:
+            # the loss/rms describe the per-seed standardized series —
+            # return exactly that (the raw variable may carry a residual
+            # mean/scale the projection absorbed)
+            z = _standardize_jit(z)
+        out = np.asarray(z)
     if work_log is not None:
         # phase timestamps (observability: the loop/fetch split tells which
         # side a regression lives on — the fetch rides the host tunnel)
+        work_log["overlap_fetch"] = snap is not None
+        work_log["t_finalize_s"] = time.monotonic() - t_fin
         work_log["t_total_s"] = time.monotonic() - t_start
     return out, rms_full

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from functools import partial
 from pathlib import Path
 from typing import Callable, Optional, Tuple, Union
@@ -509,6 +510,25 @@ class PathShadowing:
         #: Inspect after a search, or set SHADOWING_TPU_ROUTE_LOG=1 to print
         #: each line to stderr as it is first recorded.
         self.routing_log: list = []
+        #: structured metrics for the most recent public call (entry name,
+        #: wall seconds, resolved route, shapes, redo count) — sync-free:
+        #: recorded from values the call already materialised, never by
+        #: adding device round trips to the hot path.
+        self.last_metrics: dict = {}
+
+    def _record_metrics(self, entry: str, t0: float, *, B: int, k: int,
+                        redo_contexts: int = 0, **extra) -> None:
+        self.last_metrics = {
+            "entry": entry,
+            "wall_s": round(time.perf_counter() - t0, 6),
+            "B": B,
+            "k": k,
+            **getattr(self, "_last_submit", {}),
+            "factored": self._factored is not None,
+            "mesh": None if self.mesh is None else dict(self.mesh.shape),
+            "redo_contexts": redo_contexts,
+            **extra,
+        }
 
     def _log_route(self, msg: str) -> None:
         if msg in self.routing_log:
@@ -764,6 +784,7 @@ class PathShadowing:
         if exact_dtype not in ("float32", "float64"):
             raise ValueError(f"exact_dtype must be float32/float64, got "
                              f"{exact_dtype!r}")
+        t0 = time.perf_counter()
         # one host round-trip: the certification flag rides the result
         # fetch instead of forcing its own sync (a round trip through the
         # remote runtime costs ~26 ms — see CLAUDE.md)
@@ -775,8 +796,12 @@ class PathShadowing:
             dists, paths, idces = redo(ok_h)
             d_h, p_h, i_h = jax.device_get((dists, paths, idces))
         if exact_dtype == "float64":
-            return self._rescore_host_f64(x_context, p_h, i_h)
-        return d_h, p_h, i_h
+            out = self._rescore_host_f64(x_context, p_h, i_h)
+        else:
+            out = d_h, p_h, i_h
+        self._record_metrics("shadow", t0, B=len(d_h), k=k,
+                             redo_contexts=int((~ok_h).sum()))
+        return out
 
     def _rescore_host_f64(self, x_context, paths, idces):
         """Re-score the winners in host float64 and re-sort (stable), closing
@@ -808,12 +833,15 @@ class PathShadowing:
         pipelines (prediction, pricing) without host round-trips (the
         host<->device hop costs ~0.7 s for 10k paths through a remote
         tunnel, vs ~1 ms of actual compute)."""
+        t0 = time.perf_counter()
         dists, paths, idces, ok, redo = self._submit_shadow(
             x_context, k, n_splits, method, tournament_cap
         )
         ok_h = np.asarray(ok)
         if not ok_h.all():
             dists, paths, idces = redo(ok_h)
+        self._record_metrics("shadow_device", t0, B=len(ok_h), k=k,
+                             redo_contexts=int((~ok_h).sum()))
         return dists, paths, idces
 
     def _submit_shadow(
@@ -873,6 +901,8 @@ class PathShadowing:
         n_splits = max(1, min(n_splits, (self.R * n_out) // k))
         self._log_route(f"method={method} (B={B}, k={k}, R={self.R}, "
                         f"n_out={n_out}, mesh={'none' if self.mesh is None else dict(self.mesh.shape)})")
+        self._last_submit = {"method": method, "n_splits": n_splits,
+                             "n_out": n_out, "R": self.R}
 
         y = self.y
         # flat candidate ids (traj * n_out + t) are GLOBAL int32 in both
@@ -1135,6 +1165,7 @@ class PathShadowing:
         """
         from shadowing_tpu.pricing.hedged_mc import compute_smile_batch
 
+        t0 = time.perf_counter()
         dists, paths, _, ok, redo = self._submit_shadow(
             x_context, k, n_splits, method
         )
@@ -1153,6 +1184,8 @@ class PathShadowing:
         if not ok_h.all():           # rare: certification failed somewhere
             d2, p2, _ = redo(ok_h)
             smile = build(d2, p2)
+        self._record_metrics("conditional_smile", t0, B=len(ok_h), k=k,
+                             redo_contexts=int((~ok_h).sum()))
         return smile
 
     def predict_and_smile(
@@ -1181,6 +1214,7 @@ class PathShadowing:
         """
         from shadowing_tpu.pricing.hedged_mc import compute_smile_batch
 
+        t0 = time.perf_counter()
         d, p, _, ok, redo = self._submit_shadow(
             x_context, k, n_splits, method
         )
@@ -1205,6 +1239,8 @@ class PathShadowing:
             d, p, _ = redo(ok_h)
             a, b, smiles = build(d, p)
             a_h, b_h = jax.device_get((a, b))
+        self._record_metrics("predict_and_smile", t0, B=len(a_h), k=k,
+                             redo_contexts=int((~ok_h).sum()))
         return np.asarray(a_h), np.asarray(b_h), smiles
 
     def predict(
@@ -1227,6 +1263,7 @@ class PathShadowing:
         chunk would otherwise trace and compile a second shape.
         """
         del cuda
+        t0 = time.perf_counter()
         x_context = dim_bct(np.asarray(x_context, dtype=np.float32))
         B = x_context.shape[0]
         chunk = -(-B // n_context_splits)
@@ -1254,13 +1291,17 @@ class PathShadowing:
             pending.append((*aggregate(d, p), ok, redo))
             del d, p
         fetched = jax.device_get([t[:3] for t in pending])
-        preds, stds = [], []
+        preds, stds, n_redo = [], [], 0
         for (a_h, b_h, ok_h), (_, _, _, redo) in zip(fetched, pending):
             if not ok_h.all():  # rare: redo with the sort-exact oracle
+                n_redo += int((~np.asarray(ok_h)).sum())
                 d, p, _ = redo(ok_h)
                 a_h, b_h = jax.device_get(aggregate(d, p))
             preds.append(np.asarray(a_h))
             stds.append(np.asarray(b_h))
+        self._record_metrics("predict", t0, B=B, k=k,
+                             redo_contexts=n_redo,
+                             n_context_chunks=len(pending))
         return np.concatenate(preds)[:B], np.concatenate(stds)[:B]
 
 

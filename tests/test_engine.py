@@ -541,3 +541,28 @@ class TestRowsWindowSlice:
             jnp.asarray(y), jnp.asarray(traj), jnp.asarray(t0), we))
         want = np.stack([y[r, :, s:s + we] for r, s in zip(traj, t0)])
         np.testing.assert_array_equal(got, want)
+
+
+class TestLastMetrics:
+    """Every public entry point records sync-free structured metrics
+    (entry, wall, resolved route/splits, redo count) in ``last_metrics``."""
+
+    def test_shadow_and_predict_record(self, rng):
+        dataset = rng.normal(0, 0.02, size=(32, 1, 200)).astype(np.float32)
+        ctx = dataset[:3, :, 40:60]
+        obj = PathShadowing(Identity(20), RelativeMSE(), dataset,
+                            PredictionContext(horizon=10))
+        assert obj.last_metrics == {}
+        obj.shadow(ctx, k=8)
+        m = obj.last_metrics
+        assert m["entry"] == "shadow"
+        assert m["B"] == 3 and m["k"] == 8
+        assert m["method"] in ("fused", "pallas", "direct")
+        assert m["n_splits"] >= 1 and m["wall_s"] > 0
+        assert m["redo_contexts"] == 0 and m["mesh"] is None
+
+        obj.predict(ctx, k=8, to_predict=lambda p: realized_variance(p, [10]),
+                    eta=0.3, n_context_splits=3)
+        m = obj.last_metrics
+        assert m["entry"] == "predict"
+        assert m["B"] == 3 and m["n_context_chunks"] == 3

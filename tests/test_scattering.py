@@ -588,18 +588,53 @@ class TestWarmupExecutables:
             # DIFFERENT executable than the run's strong-typed one and
             # cost 13-29 s remote compiles inside timed runs — caught by
             # exactly this assertion)
-            n_tr = (orig_c._cache_size(), orig_f._cache_size())
+            n_tr = (orig_c._cache_size(), orig_f._cache_size(),
+                    syn._standardize_jit._cache_size(),
+                    syn._standardize_rows._cache_size())
             _, rms = syn.synthesize_batch(
                 jax.random.PRNGKey(3), target, bank, batch=batch,
                 max_iterations=max_iter, tol=0.05, segment=seg,
                 compact=compact,
             )
             assert (rms < 0.05).all(), "pick an easier tol for this test"
-            assert (orig_c._cache_size(), orig_f._cache_size()) == n_tr, \
+            assert (orig_c._cache_size(), orig_f._cache_size(),
+                    syn._standardize_jit._cache_size(),
+                    syn._standardize_rows._cache_size()) == n_tr, \
                 "synthesize_batch traced executables the warm-up missed"
             dispatched = set(keys) - {(batch, 0, False)}  # final-eval probe
             missing = dispatched - warmed
             assert not missing, f"run dispatched unwarmed executables {missing}"
+
+    def test_overlap_fetch_bit_identity(self, rng):
+        """The overlapped snapshot+splice output fetch is BIT-identical to
+        the single end-of-run fetch: standardization is per-row and compact
+        active sets shrink monotonically, so rows retired before the
+        snapshot are final when it is taken and the splice only replaces
+        rows the drain kept writing."""
+        from shadowing_tpu.models.scattering import synthesis as syn
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(64, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+
+        # tight tol + short segments: convergence spreads across segments so
+        # the active set passes through <= batch/4 (probed: looser configs
+        # converge wholesale inside the first segment and never drain)
+        kwargs = dict(target=target, bank=bank, batch=16,
+                      max_iterations=2000, tol=0.01, segment=5)
+        wl = {}
+        out_a, rms_a = syn.synthesize_batch(
+            jax.random.PRNGKey(3), work_log=wl, **kwargs)
+        assert wl["overlap_fetch"], ("config never drained below batch/4 — "
+                                     "the overlap path was not exercised")
+        assert wl["t_finalize_s"] >= 0
+        out_b, rms_b = syn.synthesize_batch(
+            jax.random.PRNGKey(3), overlap_fetch=False, **kwargs)
+        np.testing.assert_array_equal(out_a, out_b)
+        np.testing.assert_array_equal(rms_a, rms_b)
+        assert out_a.flags.writeable
 
     def test_in_program_chunking_matches_plain(self, rng):
         """The lax.map row-chunked segment (the >128-row executables'
