@@ -424,6 +424,20 @@ def _drain_factor(n_active: int, batch: int) -> int:
     return 1
 
 
+#: Bridge-segment length: the short segment submitted while a LARGE
+#: segment's losses are still in flight (compact runs only). Mass
+#: retirement happens at large-segment boundaries; harvesting them
+#: synchronously idles the device for the fetch round trip + redispatch
+#: (~40 ms through the remote tunnel), while lagging them a full tail
+#: segment pays every retiring seed ~25 stale steps (measured +18%
+#: seed-steps when everything was full-length-lagged). A 16-step bridge
+#: splits the difference: at 256 rows it computes ~33 ms — covering the
+#: round trip — and costs a retiring seed only 16 stale steps. Retirement
+#: is then observed one bridge late; re-entry semantics are unchanged
+#: (the bridge's refreshed losses are harvested like any segment's).
+_BRIDGE = 16
+
+
 def _tail_segment(segment: int) -> int:
     """Segment length after the first segment: ``segment // 4`` (>= 25).
 
@@ -496,6 +510,13 @@ def warmup_executables(target, bank, batch: int, segment: int = 100,
             continue  # budget-cap remainders are not enumerable
         use_c = compact and a < batch
         touch(_bucket(a, sizes) if use_c else batch, n, use_c)
+    if compact and segment + _BRIDGE <= max_iterations:
+        # bridge segments: the follower of any in-flight LARGE segment
+        # (full batch after the first segment; any bucket once compaction
+        # has started — re-entries can land the stale active set anywhere)
+        touch(batch, _BRIDGE, False)
+        for s in sizes:
+            touch(s, _BRIDGE, True)
     if std:
         # output-fetch executables: the full standardize (snapshot + the
         # non-overlapped fallback) and, for compact runs, every bucket-
@@ -537,7 +558,8 @@ def synthesize_batch(
 
     :param checkpoint_path: optional ``.npz`` file; the optimiser state
         (series, Adam moments, step count) is saved there at pipeline
-        flushes, so an interrupted long generation resumes mid-shard.
+        flushes (every ``2*segment`` steps for compact runs; every segment
+        otherwise), so an interrupted long generation resumes mid-shard.
     :param checkpoint_min_interval_s: minimum wall seconds between
         checkpoint WRITES (default 30). A write fetches the full
         (z, m, v) state to the host (~12 MB at the production config —
@@ -656,24 +678,27 @@ def synthesize_batch(
                 print(f"  resumed synthesis from step {done} "
                       f"({batch - active.size}/{batch} already converged)",
                       flush=True)
-    # Selectively pipelined segment loop. Tail segments (small active set)
-    # are submitted one-segment-lagged: segment k+1 goes to the device on
-    # the retirement state known BEFORE segment k's losses are fetched, so
-    # the device queue stays fed through the per-segment host round trip
-    # (jax dispatch is async; fetching k's losses then overlaps k+1's
-    # execution — small-bucket segments compute in less than the ~27 ms
-    # sync, which would otherwise idle the device). Large-set segments
-    # harvest immediately: mass retirement happens there, and lagging it
-    # would pay every retiring seed one extra stale segment (measured +18%
-    # seed-steps when everything was lagged) for the same single RTT.
-    # Staleness in the tail costs each straggler at most one extra tail
-    # segment; a seed whose refreshed rms pops back above ``tol`` during
-    # its in-flight extra segment simply re-enters the active set.
+    # Fully pipelined segment loop (compact runs): every segment k+1 goes
+    # to the device on the retirement state known BEFORE segment k's
+    # losses are fetched, so the device queue stays fed through the
+    # per-segment host round trip (jax dispatch is async; fetching k's
+    # losses then overlaps k+1's execution — a drain segment computes in
+    # less than the ~27 ms sync, which would otherwise idle the device).
+    # While a LARGE segment's losses are in flight, the follower is a
+    # short ``_BRIDGE`` segment: mass retirement happens at large-segment
+    # boundaries, and lagging it a full tail segment would pay every
+    # retiring seed ~25 stale steps (measured +18% seed-steps), while
+    # harvesting synchronously (the round-3 policy) idled the device
+    # ~40 ms per boundary. Staleness costs each straggler at most one
+    # in-flight segment; a seed whose refreshed rms pops back above
+    # ``tol`` when that segment lands simply re-enters the active set.
+    # Non-compact runs (the diagnostics baseline) harvest every segment
+    # synchronously — their full-batch segments have no drain to overlap.
     # Harvest points are a deterministic function of the observed loss
     # sequence, so checkpointed, uncheckpointed and resumed runs follow
     # ONE schedule (resume bit-identity is tested); checkpoints are only
     # written at flush points, where arrays/rms/active are consistent.
-    pending = None   # (losses, submitted active or None, nb, n, end step)
+    pending = None   # (losses, active or None, nb, n, end, thread, box)
     last_ckpt = done
     last_save = time.monotonic()
     # overlapped output snapshot (see the overlap_fetch docstring):
@@ -683,10 +708,36 @@ def synthesize_batch(
 
     _tm = {"harvest_s": 0.0, "n_harvests": 0}
 
+    def _prefetch(losses):
+        """Fetch a segment's losses on a host thread, started at submission
+        time. The harvest's ``np.asarray`` would otherwise pay its ~27 ms
+        tunnel round trip serially per segment even when the data is long
+        ready (the device stays fed — the pipelined queue — but the HOST
+        chain of blocking fetches owns the wall clock). The tunnel serves
+        concurrent fetches (measured: the drain-overlapped snapshot fetch
+        rides alongside dispatches at full speed), so per-segment threads
+        collapse the serial RTT sum to the last segment's. The blocking
+        device fetch releases the GIL (same mechanism as the output
+        snapshot thread)."""
+        box = {}
+
+        def fetch():
+            try:
+                box["rms"] = np.sqrt(np.asarray(losses))
+            except BaseException as e:  # surfaced at the harvest join
+                box["err"] = e
+
+        th = threading.Thread(target=fetch, daemon=True)
+        th.start()
+        return th, box
+
     def _harvest(p):
-        losses_p, act_p, nb_p, n_p, end_p = p
+        losses_p, act_p, nb_p, n_p, end_p, th_p, box_p = p
         t_h = time.monotonic()
-        arr = np.sqrt(np.asarray(losses_p))
+        th_p.join()
+        if "err" in box_p:
+            raise box_p["err"]
+        arr = box_p["rms"]
         _tm["harvest_s"] += time.monotonic() - t_h
         _tm["n_harvests"] += 1
         if act_p is None:
@@ -709,17 +760,30 @@ def synthesize_batch(
     # mid-drain (copy_to_host_async at a late flush) measured ZERO gain on
     # the axon tunnel (the async copy is not actually asynchronous there)
     # while adding a per-run-shaped refetch executable — removed.
+    _tm["submits"] = []   # per-iteration dispatch wall (observability: a
+    _tm["harvests"] = []  # blocked submit vs a long harvest tell apart a
+    #                       tunnel stall and a device-bound wait)
     while (done < max_iterations and active.size) or pending is not None:
         submitted = None
         submit_size = 0
+        t_it = time.monotonic()
         if done < max_iterations and active.size:
             submit_size = active.size
-            # first segment long (nothing retires early), then fine-grained
-            # tail segments so converged seeds stop paying promptly —
+            # first segment long (nothing retires early); a short bridge
+            # while a large segment's mass retirement is still in flight
+            # (see the policy comment above); then fine-grained tail
+            # segments so converged seeds stop paying promptly —
             # lengthened again in the sync-bound drain (_drain_factor)
-            seg_now = (segment if done == 0 else
-                       _tail_segment(segment) * _drain_factor(active.size,
-                                                              batch))
+            pend_large = pending is not None and (
+                batch if pending[1] is None else pending[1].size
+            ) > batch // 4
+            if done == 0:
+                seg_now = segment
+            elif compact and pend_large:
+                seg_now = _BRIDGE
+            else:
+                seg_now = (_tail_segment(segment)
+                           * _drain_factor(active.size, batch))
             n = min(seg_now, max_iterations - done)
             chunk = _SEG_CHUNK if sharding is None else 0
             if compact and active.size < batch:
@@ -731,23 +795,28 @@ def synthesize_batch(
                     J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
                     standardize=std, chunk=chunk,
                 )
-                submitted = (losses, active.copy(), nb, n, done + n)
+                submitted = (losses, active.copy(), nb, n, done + n,
+                             *_prefetch(losses))
             else:
                 z, m, v, losses = _optimize_segment(
                     z, m, v, jnp.asarray(done, jnp.float32), target, psi,
                     J=bank.J, n_steps=n, lr=lr, bands=bank.band_hi or None,
                     standardize=std, chunk=chunk,
                 )
-                submitted = (losses, None, batch, n, done + n)
+                submitted = (losses, None, batch, n, done + n,
+                             *_prefetch(losses))
             done += n
             seed_steps += submitted[2] * n
-            if snap is not None and submitted[1] is not None:
+            if snap is not None:
                 # every row stepped after the snapshot must be refetched —
                 # including rare RE-ENTRIES (a retired row whose rms pops
                 # back above tol when its in-flight extra segment lands is
                 # re-activated, and need not be in the snapshot-trigger
                 # submission's active set)
-                snap[2][submitted[1]] = True
+                if submitted[1] is None:   # full-batch: everyone stepped
+                    snap[2][:] = True
+                else:
+                    snap[2][submitted[1]] = True
             if (snap is None and can_snap and submitted[1] is not None
                     and submit_size <= batch // 4):
                 # rows outside this submission's active set are final from
@@ -765,14 +834,18 @@ def synthesize_batch(
                 stepped = np.zeros(batch, bool)
                 stepped[submitted[1]] = True
                 snap = (th, box, stepped)
+        _tm["submits"].append(round(time.monotonic() - t_it, 4))
         if pending is not None:
+            t_h0 = time.monotonic()
             active = _harvest(pending)
+            _tm["harvests"].append(round(time.monotonic() - t_h0, 4))
         pending = submitted
-        if pending is not None and (submit_size > batch // 4
-                                    or done - last_ckpt >= segment):
+        if pending is not None and (not compact
+                                    or done - last_ckpt >= 2 * segment):
             # flush: harvest the just-submitted segment now. Triggers:
-            # (a) large active set — retire at fresh boundaries, don't
-            # lag mass retirement; (b) every ``segment`` steps — bound
+            # (a) non-compact runs — full-batch segments have no drain to
+            # overlap, and the no-compaction baseline keeps its simple
+            # synchronous schedule; (b) every ``2*segment`` steps — bound
             # pipeline depth so checkpoint state stays fresh.
             active = _harvest(pending)
             pending = None
@@ -800,6 +873,8 @@ def synthesize_batch(
         work_log["t_init_s"] = t_init
         work_log["t_harvest_s"] = _tm["harvest_s"]
         work_log["n_harvests"] = _tm["n_harvests"]
+        work_log["t_submits"] = _tm["submits"]
+        work_log["t_harvests"] = _tm["harvests"]
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()  # shard finished: drop the mid-shard state
     t_fin = time.monotonic()
