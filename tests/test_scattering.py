@@ -631,6 +631,11 @@ class TestWarmupExecutables:
         assert wl["overlap_fetch"], ("config never drained below batch/4 — "
                                      "the overlap path was not exercised")
         assert wl["t_finalize_s"] >= 0
+        # per-iteration observability: one submit wall per loop iteration,
+        # one harvest wall per pipelined harvest
+        assert len(wl["t_submits"]) >= wl["n_harvests"] >= 1
+        assert len(wl["t_harvests"]) <= wl["n_harvests"]
+        assert all(t >= 0 for t in wl["t_submits"] + wl["t_harvests"])
         out_b, rms_b = syn.synthesize_batch(
             jax.random.PRNGKey(3), overlap_fetch=False, **kwargs)
         np.testing.assert_array_equal(out_a, out_b)
