@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from shadowing_tpu.models.scattering.moments import _scattering_stats_flat
 
 DATA_AXIS = "data"
+CTX_AXIS = "ctx"
 
 
 def data_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -54,6 +55,29 @@ def data_mesh(n_devices: Optional[int] = None) -> Mesh:
             )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def data_ctx_mesh(n_data: int, n_ctx: int) -> Mesh:
+    """A 2-d ``(data, ctx)`` mesh: dataset rows shard over ``data``,
+    context batches over ``ctx``.
+
+    The scaling story for pod-scale backtests (BASELINE.md's v5p row —
+    ~10k dates at k<=16,384): the 1-d data mesh stops paying once R/n_dev
+    shards get small while the per-context selection state (pass-2 cap x
+    lanes at large k) and the O(B * k * n_dev) ICI merge payload keep
+    growing with B. Splitting the context batch over a second axis keeps
+    both per-device: each ``ctx`` slice runs the search for B/n_ctx
+    contexts against its ``data`` shard, so the merge payload drops to
+    O(B/n_ctx * k * n_data) per device and context chunks pipeline in
+    parallel instead of serially."""
+    devs = jax.devices()
+    need = n_data * n_ctx
+    if need > len(devs):
+        raise ValueError(
+            f"requested {n_data}x{n_ctx} mesh, only {len(devs)} devices"
+        )
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_ctx),
+                (DATA_AXIS, CTX_AXIS))
 
 
 def pad_rows_to_mesh(a: jax.Array, mesh: Mesh) -> jax.Array:
@@ -118,11 +142,14 @@ def sharded_window_norms(
     )(y)
 
 
-#: trace-time record of the last ICI k-merge's gathered payload (per
-#: device): ``{"bytes": int, "shape": (n_dev, B, k_loc)}``. Shapes are
-#: static, so this is written when a merge TRACES (not per dispatch) —
-#: enough for dry-runs (__graft_entry__.dryrun_multichip) to assert the
-#: collective payload stays O(B * k * n_dev), independent of R.
+#: trace-time record of every ICI k-merge's gathered payload (per device),
+#: keyed by the gathered shape ``(n_dev, B, k_loc) -> bytes``. Shapes are
+#: static, so an entry is written when a merge TRACES (not per dispatch);
+#: keying by shape means a jit-cache hit (nothing re-traced) still has its
+#: entry from the first trace, and merges of different shapes in one
+#: process don't clobber each other. Dry-runs
+#: (__graft_entry__.dryrun_multichip) assert the collective payload stays
+#: O(B * k * n_dev), independent of R.
 LAST_MERGE_PAYLOAD: dict = {}
 
 
@@ -131,8 +158,7 @@ def _ici_topk_merge(vals, idx, k):
     exact global k-smallest (payload O(B * k * devices), independent of R)."""
     vals_all = jax.lax.all_gather(vals, DATA_AXIS)       # (n_dev, B, k_loc)
     idx_all = jax.lax.all_gather(idx, DATA_AXIS)
-    LAST_MERGE_PAYLOAD["shape"] = tuple(vals_all.shape)
-    LAST_MERGE_PAYLOAD["bytes"] = (
+    LAST_MERGE_PAYLOAD[tuple(vals_all.shape)] = (
         vals_all.size * vals_all.dtype.itemsize
         + idx_all.size * idx_all.dtype.itemsize
     )
@@ -211,6 +237,89 @@ def sharded_fused_search(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(y, norms)
+
+
+def shard_contexts(g: jax.Array, x_norm2: jax.Array, mesh: Mesh):
+    """Place combined filters (B, C, Kw) + context norms (B,) with B
+    sharded over the ``ctx`` axis of a :func:`data_ctx_mesh`."""
+    return (
+        jax.device_put(jnp.asarray(g),
+                       NamedSharding(mesh, P(CTX_AXIS, None, None))),
+        jax.device_put(jnp.asarray(x_norm2),
+                       NamedSharding(mesh, P(CTX_AXIS))),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "n_out", "n_splits", "distance", "mesh", "block",
+                     "cap"),
+)
+def sharded_fused_search_2d(
+    y: jax.Array,          # (R_pad, C, T), R sharded over "data"
+    norms: jax.Array,      # (R_pad, n_out), R sharded over "data"
+    g: jax.Array,          # (B, C, Kw), B sharded over "ctx"
+    x_norm2: jax.Array,    # (B,), B sharded over "ctx"
+    k: int,
+    n_out: int,
+    distance,
+    mesh: Mesh,            # 2-d (data, ctx) — see data_ctx_mesh
+    n_splits: int = 1,
+    block: int = 128,
+    cap: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """2-d mesh twin of :func:`sharded_fused_search`: R shards over
+    ``data``, the context batch over ``ctx``.
+
+    Per device: the engine's ``_fused_search`` for its B/n_ctx contexts
+    against its R/n_data rows; then the exact k-merge rides ICI along the
+    ``data`` axis only (payload O(B/n_ctx * k * n_data) per device — a
+    factor n_ctx below the 1-d mesh), and one ``ctx`` all_gather
+    re-assembles the replicated (B, k) result. Same array-identity
+    contract as every mesh route: any mesh shape returns identical
+    winners (tested at (8,), (4,2), (2,4) vs single-device)."""
+    from shadowing_tpu.shadow.engine import _fused_search
+
+    n_data = mesh.shape[DATA_AXIS]
+    n_ctx = mesh.shape[CTX_AXIS]
+    R, B = y.shape[0], g.shape[0]
+    if R % n_data:
+        raise ValueError(
+            f"R={R} not a multiple of the data axis ({n_data}) — place the "
+            "dataset with shard_dataset (it pads)"
+        )
+    if B % n_ctx:
+        raise ValueError(
+            f"B={B} contexts not a multiple of the ctx axis ({n_ctx}) — "
+            "pad the context batch (a zero context is a valid query)"
+        )
+    r_loc = R // n_data
+    k_loc = min(k, r_loc * n_out)
+    ns = max(1, min(n_splits, (r_loc * n_out) // k_loc))
+
+    def local(y_loc, n_loc, g_loc, xn_loc):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        vals, idx, ok = _fused_search(
+            y_loc, n_loc, g_loc, xn_loc, k=k_loc, n_out=n_out,
+            n_splits=ns, distance=distance, block=block, cap=cap,
+        )
+        idx = idx + ax.astype(jnp.int32) * (r_loc * n_out)
+        merged_v, merged_i = _ici_topk_merge(vals, idx, k)
+        ok_all = jax.lax.all_gather(ok, DATA_AXIS).all(axis=0)
+        # re-assemble the context axis: each ctx slice holds the final
+        # (B_loc, k) winners for ITS contexts — one gather replicates
+        v = jax.lax.all_gather(merged_v, CTX_AXIS).reshape(B, k)
+        i = jax.lax.all_gather(merged_i, CTX_AXIS).reshape(B, k)
+        okf = jax.lax.all_gather(ok_all, CTX_AXIS).reshape(B)
+        return v, i, okf
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                  P(CTX_AXIS, None, None), P(CTX_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(y, norms, g, x_norm2)
 
 
 @partial(jax.jit, static_argnames=("n_out", "w", "mesh"))

@@ -67,13 +67,15 @@ def _hat_basis(s: jax.Array, knots: jax.Array) -> jax.Array:
     return b
 
 
-@partial(jax.jit, static_argnames=("n_basis",))
+@partial(jax.jit, static_argnames=("n_basis", "knots"))
 def _hmc_prices(
     paths: jax.Array,     # (N, T+1) raw prices, common S0
     weights: jax.Array,   # (N,) path measure, sums to 1
     strikes: jax.Array,   # (nK,)
     discount: jax.Array,  # e^{-r dt}
     n_basis: int,
+    knots: str = "auto",  # "auto" | "empirical" | "moment" (tests force a
+    #                       branch to check the two grids price alike)
 ) -> jax.Array:           # (nK,) option prices at t=0
     N, T1 = paths.shape
     T = T1 - 1
@@ -105,7 +107,8 @@ def _hmc_prices(
     # NaN prices), while the occupancy-balanced quantiles cannot. The
     # total sort work at small N is negligible; at scale the moment form
     # is sort-free and distribution-exact for lognormal steps.
-    if N < 2048:
+    use_empirical = N < 2048 if knots == "auto" else knots == "empirical"
+    if use_empirical:
         q = jnp.linspace(0.0, 1.0, n_basis)
         knots_all = jnp.quantile(paths[:, 1:T], q, axis=0).T    # (T-1, m)
     else:

@@ -95,6 +95,41 @@ class TestHedgedMC:
             # paths with differing initial prices
             compute_smile(x * np.linspace(1, 2, 128)[:, None], Ts=[5], Ms=[0.0])
 
+    @pytest.mark.parametrize("tails", ["gbm", "student_t"])
+    def test_knot_grid_equivalence(self, rng, tails):
+        """The N>=2048 lognormal-moment knot grid must price like the exact
+        empirical-quantile grid it replaces (the knots only parameterise the
+        hat REGRESSION basis, so any mass-covering grid is unbiased): both
+        branches at the same N=4096 paths, GBM and heavy-tailed, must agree
+        to ~0.5 vol point everywhere on the smile. Guards the branch switch
+        at N=2048 (prices must not move discontinuously with path count) and
+        future knot tweaks against silently shifting the smile's wings."""
+        import jax.numpy as jnp
+
+        from shadowing_tpu.pricing.hedged_mc import _hmc_prices
+
+        dt = 1 / 252
+        N, T, sigma = 4096, 25, 0.2
+        if tails == "gbm":
+            z = rng.standard_normal((N, T))
+        else:
+            z = rng.standard_t(4, size=(N, T))
+            z /= z.std()
+        x = PriceData(dlnx=sigma * np.sqrt(dt) * z, x_init=100.0).x
+        tau = T * dt
+        rv = (np.diff(np.log(x), axis=1) ** 2).sum(axis=1) / tau
+        sigma_T = float(np.sqrt(rv.mean()))
+        Ms = np.linspace(-2, 2, 9)
+        strikes = 100.0 * np.exp(Ms * sigma_T * np.sqrt(tau))
+        args = (jnp.asarray(x, jnp.float32), jnp.full((N,), 1.0 / N),
+                jnp.asarray(strikes, jnp.float32), jnp.asarray(1.0))
+        p_emp = np.asarray(_hmc_prices(*args, n_basis=12, knots="empirical"))
+        p_mom = np.asarray(_hmc_prices(*args, n_basis=12, knots="moment"))
+        v_emp = np.asarray(bs_implied_vol(p_emp, 100.0, strikes, tau, 0.0))
+        v_mom = np.asarray(bs_implied_vol(p_mom, 100.0, strikes, tau, 0.0))
+        assert np.isfinite(v_emp).all() and np.isfinite(v_mom).all()
+        np.testing.assert_allclose(v_mom, v_emp, atol=5e-3)
+
     def test_plot_smoke(self, rng, tmp_path):
         import matplotlib
 
