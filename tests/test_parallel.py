@@ -63,6 +63,67 @@ def test_mesh_size_invariance(rng, n_dev):
     np.testing.assert_array_equal(got, np.sort(order, axis=1))
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4), (1, 8), (8, 1)])
+def test_mesh_2d_matches_1d(rng, shape):
+    """The 2-d (data, ctx) mesh prototype returns the same winners as the
+    1-d 8-device data mesh and the single device — the array-identity
+    contract extended to context sharding (VERDICT r4 directive 8)."""
+    from shadowing_tpu.parallel.sharding import (
+        data_ctx_mesh,
+        shard_contexts,
+        sharded_fused_search_2d,
+    )
+
+    y, kernel, n_out, x_emb, x_norm2, g = _setup(rng, R=128, T=256, B=8)
+    dist = RelativeMSE()
+    k = 12
+
+    mesh1 = data_mesh(8)
+    v1, i1, ok1 = sharded_fused_search(
+        shard_dataset(jnp.asarray(y), mesh1),
+        jax.device_put(
+            _window_norms(jnp.asarray(y), kernel, n_out=n_out, n_splits=1,
+                          identity_fast=True),
+            jax.sharding.NamedSharding(
+                mesh1, jax.sharding.PartitionSpec("data", None)),
+        ),
+        g, x_norm2, k=k, n_out=n_out, distance=dist, mesh=mesh1,
+    )
+    assert np.asarray(ok1).all()
+
+    mesh2 = data_ctx_mesh(*shape)
+    y_sh = shard_dataset(jnp.asarray(y), mesh2)
+    norms = _window_norms(jnp.asarray(y), kernel, n_out=n_out, n_splits=1,
+                          identity_fast=True)
+    norms_sh = jax.device_put(
+        norms, jax.sharding.NamedSharding(
+            mesh2, jax.sharding.PartitionSpec("data", None)),
+    )
+    g_sh, xn_sh = shard_contexts(g, x_norm2, mesh2)
+    v2, i2, ok2 = sharded_fused_search_2d(
+        y_sh, norms_sh, g_sh, xn_sh, k=k, n_out=n_out, distance=dist,
+        mesh=mesh2,
+    )
+    assert np.asarray(ok2).all()
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-6)
+
+
+def test_mesh_2d_uneven_contexts_raise(rng):
+    from shadowing_tpu.parallel.sharding import (
+        data_ctx_mesh,
+        sharded_fused_search_2d,
+    )
+
+    y, kernel, n_out, x_emb, x_norm2, g = _setup(rng, R=64, B=3)
+    mesh2 = data_ctx_mesh(4, 2)
+    with pytest.raises(ValueError, match="ctx"):
+        sharded_fused_search_2d(
+            jnp.asarray(y), jnp.zeros((64, n_out)), g, x_norm2,
+            k=4, n_out=n_out, distance=RelativeMSE(), mesh=mesh2,
+        )
+
+
 def test_sharded_synthesis_step_matches_single(rng):
     T, J, R = 128, 3, 16
     bank = build_filter_bank(T, J)
