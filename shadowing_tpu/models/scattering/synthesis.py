@@ -232,6 +232,80 @@ def _optimize_segment_compact(
     )
 
 
+@partial(jax.jit, static_argnames=("J", "sub_steps", "lr", "use_mm", "bands",
+                                   "standardize", "chunk"))
+def _optimize_drain(
+    z_full: jax.Array,     # (batch, T) all seeds (converged ones frozen)
+    m_full: jax.Array,
+    v_full: jax.Array,
+    idx: jax.Array,        # (nb,) int32 rows to drain (padded by cycling)
+    i0: jax.Array,         # () f32 global step offset at drain entry
+    budget_subs: jax.Array,  # () int32 sub-segments the step budget allows
+    tol: jax.Array,        # () f32 convergence threshold on the RMS
+    target: jax.Array,
+    psi_hat: jax.Array,
+    J: int,
+    sub_steps: int,        # retirement granularity inside the drain
+    lr=0.03,
+    use_mm: bool = None,
+    bands: tuple = None,
+    standardize: bool = False,
+    chunk: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """ONE-dispatch straggler drain: gather the last active rows, then run
+    ``sub_steps``-long Adam sub-segments under a ``lax.while_loop`` that
+    freezes each row the moment its RMS falls below ``tol`` and exits as
+    soon as every row is frozen (or the step budget runs out).
+
+    Rationale (measured, round 4): a compact-bucket segment pays a ~50 ms
+    FIXED dispatch cost through the remote tunnel regardless of rows
+    (100-step segment walls at batch 1024: bucket 32 = 56 ms, 64 = 100,
+    128 = 104 — compute is marginal below ~128 rows), so the old
+    host-driven drain burned ~0.2-0.4 s on 4-8 small-bucket dispatches per
+    1024-path run. Fusing the whole drain into one dispatch pays that cost
+    once, and freezing at every ``sub_steps`` boundary is FINER retirement
+    granularity than the host loop's ``_drain_factor``-lengthened segments
+    (fewer overstepped seed-steps, not more). Frozen rows still occupy
+    their bucket row (static shapes) — exactly like bucket padding, and
+    counted as paid the same way.
+
+    Returns ``(z_full, m_full, v_full, losses, n_subs)`` where ``losses``
+    holds each drained row's loss at freeze time (recomputing a frozen
+    row's loss is a fixpoint, so no masking is needed beyond the update)
+    and ``n_subs`` is the number of sub-segments actually executed.
+    """
+    z, m, v = z_full[idx], m_full[idx], v_full[idx]
+    nb = z.shape[0]
+    tol2 = tol * tol  # losses are squared-RMS
+
+    def cond(c):
+        _, _, _, frozen, _, k = c
+        return (k < budget_subs) & jnp.logical_not(frozen.all())
+
+    def body(c):
+        z, m, v, frozen, losses, k = c
+        i = i0 + (k * sub_steps).astype(jnp.float32)
+        z2, m2, v2, l2 = _adam_scan_chunked(
+            z, m, v, i, target, psi_hat, J, sub_steps, lr,
+            use_mm, bands, standardize, chunk,
+        )
+        keep = frozen[:, None]
+        z = jnp.where(keep, z, z2)
+        m = jnp.where(keep, m, m2)
+        v = jnp.where(keep, v, v2)
+        losses = jnp.where(frozen, losses, l2)
+        frozen = frozen | (losses < tol2)
+        return (z, m, v, frozen, losses, k + 1)
+
+    init = (z, m, v,
+            jnp.zeros((nb,), bool),
+            jnp.full((nb,), jnp.inf, jnp.float32),
+            jnp.asarray(0, jnp.int32))
+    z, m, v, frozen, losses, k = jax.lax.while_loop(cond, body, init)
+    return (z_full.at[idx].set(z), m_full.at[idx].set(m),
+            v_full.at[idx].set(v), losses, k)
+
+
 def _colour_filter(target: jax.Array, psi_hat: jax.Array, J: int) -> jax.Array:
     """Spectral colouring ``H(w)`` that maps unit white noise to the
     target's per-scale wavelet powers.
@@ -344,7 +418,16 @@ def _dev_cached(key, build):
 
 
 def _psi_device(bank: FilterBank) -> jax.Array:
-    return _dev_cached(("psi", bank.T, bank.J),
+    # keyed by filter CONTENT, not just (T, J): two banks with the same
+    # geometry but different psi_hat (custom filters, in-place edits) must
+    # not alias each other's device copy — the optimiser would silently run
+    # against the wrong filters while ``bands`` came from the new bank.
+    # Digesting the (J, T) float32 block costs ~0.1 ms per synthesize_batch
+    # call, amortised over the whole optimisation.
+    import hashlib
+
+    digest = hashlib.sha1(np.ascontiguousarray(bank.psi_hat)).hexdigest()
+    return _dev_cached(("psi", bank.T, bank.J, digest),
                        lambda: jnp.asarray(bank.psi_hat))
 
 
@@ -458,7 +541,8 @@ def _tail_segment(segment: int) -> int:
 
 def warmup_executables(target, bank, batch: int, segment: int = 100,
                        max_iterations: int = 1000, lr=None,
-                       compact: bool = True) -> int:
+                       compact: bool = True,
+                       fused_drain: bool = True) -> int:
     """Compile + program-load every single-device segment executable a
     ``synthesize_batch`` run with these parameters can dispatch (one short
     blocking call per distinct ``(rows, n_steps, path)`` key).
@@ -503,8 +587,36 @@ def warmup_executables(target, bank, batch: int, segment: int = 100,
             )
         np.asarray(out[-1][:1])  # block on a tiny fetch
 
+    def touch_drain(nb):
+        key = ("drain", nb, tail)
+        if key in seen:
+            return
+        seen.add(key)
+        # budget_subs=0: the while_loop exits immediately, so the dispatch
+        # pays compile + program-load (the point of warm-up) at ~zero
+        # compute. Scalar construction mirrors the run EXACTLY (strong f32
+        # i0/tol, strong int32 budget) — weak-typed scalars key DIFFERENT
+        # executables (see the jit-key note in CLAUDE.md).
+        out = _optimize_drain(
+            z0, z0, z0, jnp.zeros((nb,), jnp.int32),
+            jnp.asarray(0, jnp.float32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.01, jnp.float32), target, psi,
+            J=bank.J, sub_steps=tail, lr=lr, bands=bands,
+            standardize=std, chunk=_SEG_CHUNK,
+        )
+        np.asarray(out[-1])  # block on the (scalar) sub-segment count
+
+    # with the fused drain, every active set <= batch/8 is handled by ONE
+    # _optimize_drain executable per bucket; the host-driven
+    # _drain_factor-lengthened segments for those sizes are unreachable
+    # (warming them would burn 20-90 s remote compiles on dead shapes)
+    drain_fused = compact and fused_drain
     touch(batch, min(segment, max_iterations), False)    # first segment
     for a in range(1, batch + 1):                # every possible active size
+        if drain_fused and a * 8 <= batch:
+            if segment + tail <= max_iterations:
+                touch_drain(_bucket(a, sizes))
+            continue
         n = tail * _drain_factor(a, batch)
         if segment + n > max_iterations:
             continue  # budget-cap remainders are not enumerable
@@ -513,10 +625,14 @@ def warmup_executables(target, bank, batch: int, segment: int = 100,
     if compact and segment + _BRIDGE <= max_iterations:
         # bridge segments: the follower of any in-flight LARGE segment
         # (full batch after the first segment; any bucket once compaction
-        # has started — re-entries can land the stale active set anywhere)
+        # has started — re-entries can land the stale active set anywhere).
+        # With the fused drain, active sets <= batch/8 never reach the host
+        # segment path, so their buckets' bridges are dead shapes too.
+        min_bucket = _bucket(batch // 8 + 1, sizes) if drain_fused else 0
         touch(batch, _BRIDGE, False)
         for s in sizes:
-            touch(s, _BRIDGE, True)
+            if s >= min_bucket:
+                touch(s, _BRIDGE, True)
     if std:
         # output-fetch executables: the full standardize (snapshot + the
         # non-overlapped fallback) and, for compact runs, every bucket-
@@ -550,6 +666,7 @@ def synthesize_batch(
     init: str = "auto",
     checkpoint_min_interval_s: float = 30.0,
     overlap_fetch: bool = True,
+    fused_drain: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesise ``batch`` series matching ``target`` statistics.
 
@@ -608,6 +725,13 @@ def synthesize_batch(
         per-row and compact active sets shrink monotonically, so rows
         outside the snapshot's active set are final (tested). ``False``
         keeps the single end-of-run fetch (timing diagnostics).
+    :param fused_drain: once the active set falls to <= batch/8, finish the
+        whole straggler tail in ONE :func:`_optimize_drain` dispatch
+        (in-program freeze at every ``segment // 4``-step boundary, early
+        exit when everyone froze) instead of 4-8 host-driven small-bucket
+        segments that each pay the ~50 ms fixed tunnel dispatch cost
+        (default). ``False`` keeps the round-4 host-driven drain
+        (``_drain_factor``-lengthened segments — diagnostics baseline).
     """
     t_start = time.monotonic()
     if lr is None:
@@ -705,8 +829,30 @@ def synthesize_batch(
     # (fetch thread, result box, mask of rows stepped at/after the snapshot)
     snap = None
     can_snap = (overlap_fetch and compact and std and sharding is None)
+    tail = _tail_segment(segment)
+    chunk_val = _SEG_CHUNK if sharding is None else 0
 
     _tm = {"harvest_s": 0.0, "n_harvests": 0}
+
+    def _start_snapshot(stepped_rows):
+        """Snapshot-fetch the CURRENT standardized series on a host thread
+        (rows outside the active set are final from here on); returns the
+        (thread, box, stepped-mask) triple, with ``stepped_rows`` already
+        marked as needing the end-of-run refetch."""
+        snap_dev = _standardize_jit(z)
+        box = {}
+
+        def _snap_fetch(a=snap_dev, box=box):
+            try:  # surfaced at the end-of-run join (same pattern
+                box["out"] = np.asarray(a)  # as _prefetch's err box)
+            except BaseException as e:
+                box["err"] = e
+
+        th = threading.Thread(target=_snap_fetch, daemon=True)
+        th.start()
+        stepped = np.zeros(batch, bool)
+        stepped[stepped_rows] = True
+        return th, box, stepped
 
     def _prefetch(losses):
         """Fetch a segment's losses on a host thread, started at submission
@@ -764,6 +910,54 @@ def synthesize_batch(
     _tm["harvests"] = []  # blocked submit vs a long harvest tell apart a
     #                       tunnel stall and a device-bound wait)
     while (done < max_iterations and active.size) or pending is not None:
+        if (compact and fused_drain and done < max_iterations
+                and active.size and active.size * 8 <= batch
+                and max_iterations - done >= tail):
+            # ---- fused one-dispatch straggler drain (terminal phase) ----
+            # the active set is small enough that a segment's wall is ~all
+            # fixed dispatch cost; flush the pipeline and finish the whole
+            # tail in one _optimize_drain dispatch (in-program freeze at
+            # every `tail`-step boundary, early exit when everyone froze)
+            if pending is not None:
+                active = _harvest(pending)
+                pending = None
+                if not (active.size and done < max_iterations
+                        and active.size * 8 <= batch):
+                    continue  # harvest re-entered rows / emptied the set
+            if snap is None and can_snap:
+                # snapshot the PRE-drain series first so its host fetch
+                # overlaps the drain's (single, long) device execution
+                snap = _start_snapshot(active)
+            t_dr = time.monotonic()
+            nb = _bucket(active.size, sizes)
+            idx = np.resize(active, nb)  # pad by cycling active rows
+            z, m, v, losses_d, k_d = _optimize_drain(
+                z, m, v, jnp.asarray(idx, jnp.int32),
+                jnp.asarray(done, jnp.float32),
+                jnp.asarray((max_iterations - done) // tail, jnp.int32),
+                jnp.asarray(tol, jnp.float32), target, psi,
+                J=bank.J, sub_steps=tail, lr=lr,
+                bands=bank.band_hi or None, standardize=std,
+                chunk=chunk_val,
+            )
+            if snap is not None:
+                snap[2][active] = True
+            losses_h, k_h = jax.device_get((losses_d, k_d))  # one sync
+            n_subs = int(k_h)
+            done += n_subs * tail
+            seed_steps += nb * tail * n_subs
+            rms_full[active] = np.sqrt(losses_h[: active.size])
+            _tm.setdefault("drain", []).append(
+                {"rows": int(active.size), "bucket": nb,
+                 "subs": n_subs, "sub_steps": tail,
+                 "wall_s": round(time.monotonic() - t_dr, 4)})
+            if verbose:
+                print(f"  drain: {active.size} stragglers, bucket {nb}, "
+                      f"{n_subs} x {tail}-step subs in one dispatch | "
+                      f"{int((rms_full < tol).sum())}/{batch} converged",
+                      flush=True)
+            active = active[rms_full[active] >= tol]
+            continue
         submitted = None
         submit_size = 0
         t_it = time.monotonic()
@@ -823,17 +1017,7 @@ def synthesize_batch(
                 # here on (modulo the re-entry tracking above) — snapshot-
                 # fetch the whole standardized series on a thread; the
                 # drain's dispatches proceed underneath it
-                snap_dev = _standardize_jit(z)
-                box = {}
-                th = threading.Thread(
-                    target=lambda a=snap_dev: box.__setitem__(
-                        "out", np.asarray(a)),
-                    daemon=True,
-                )
-                th.start()
-                stepped = np.zeros(batch, bool)
-                stepped[submitted[1]] = True
-                snap = (th, box, stepped)
+                snap = _start_snapshot(submitted[1])
         _tm["submits"].append(round(time.monotonic() - t_it, 4))
         if pending is not None:
             t_h0 = time.monotonic()
@@ -875,6 +1059,8 @@ def synthesize_batch(
         work_log["n_harvests"] = _tm["n_harvests"]
         work_log["t_submits"] = _tm["submits"]
         work_log["t_harvests"] = _tm["harvests"]
+        if "drain" in _tm:  # fused one-dispatch straggler drain, if it ran
+            work_log["drain"] = _tm["drain"]
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()  # shard finished: drop the mid-shard state
     t_fin = time.monotonic()
@@ -888,6 +1074,8 @@ def synthesize_batch(
         rows = np.asarray(_standardize_rows(
             z, jnp.asarray(np.resize(still, nb), jnp.int32)))
         th.join()
+        if "err" in box:
+            raise box["err"]
         out = box["out"]
         if not out.flags.writeable:
             out = out.copy()

@@ -267,6 +267,7 @@ class TestSynthesis:
         import shadowing_tpu.models.scattering.synthesis as syn
         orig_full = syn._optimize_segment
         orig_comp = syn._optimize_segment_compact
+        orig_drain = syn._optimize_drain
 
         def make_wrapped(orig):
             def wrapped(*a, **k2):
@@ -277,6 +278,7 @@ class TestSynthesis:
 
         syn._optimize_segment = make_wrapped(orig_full)
         syn._optimize_segment_compact = make_wrapped(orig_comp)
+        syn._optimize_drain = make_wrapped(orig_drain)
         try:
             with pytest.raises(Stop):
                 synthesize_batch(jax.random.PRNGKey(5), **kw,
@@ -285,6 +287,7 @@ class TestSynthesis:
         finally:
             syn._optimize_segment = orig_full
             syn._optimize_segment_compact = orig_comp
+            syn._optimize_drain = orig_drain
         assert ck.exists()
         z_res, rms_res = synthesize_batch(jax.random.PRNGKey(5), **kw,
                                           checkpoint_path=ck,
@@ -563,6 +566,7 @@ class TestWarmupExecutables:
 
         keys = []
         orig_c, orig_f = syn._optimize_segment_compact, syn._optimize_segment
+        orig_d = syn._optimize_drain
 
         def wrap_c(*a, **k):
             keys.append((a[3].shape[0], k["n_steps"], True))
@@ -572,8 +576,13 @@ class TestWarmupExecutables:
             keys.append((a[0].shape[0], k["n_steps"], False))
             return orig_f(*a, **k)
 
+        def wrap_d(*a, **k):
+            keys.append(("drain", a[3].shape[0], k["sub_steps"]))
+            return orig_d(*a, **k)
+
         monkeypatch.setattr(syn, "_optimize_segment_compact", wrap_c)
         monkeypatch.setattr(syn, "_optimize_segment", wrap_f)
+        monkeypatch.setattr(syn, "_optimize_drain", wrap_d)
 
         batch, seg, max_iter = 16, 40, 2000
         for compact in (True, False):
@@ -589,6 +598,7 @@ class TestWarmupExecutables:
             # cost 13-29 s remote compiles inside timed runs — caught by
             # exactly this assertion)
             n_tr = (orig_c._cache_size(), orig_f._cache_size(),
+                    orig_d._cache_size(),
                     syn._standardize_jit._cache_size(),
                     syn._standardize_rows._cache_size())
             _, rms = syn.synthesize_batch(
@@ -598,6 +608,7 @@ class TestWarmupExecutables:
             )
             assert (rms < 0.05).all(), "pick an easier tol for this test"
             assert (orig_c._cache_size(), orig_f._cache_size(),
+                    orig_d._cache_size(),
                     syn._standardize_jit._cache_size(),
                     syn._standardize_rows._cache_size()) == n_tr, \
                 "synthesize_batch traced executables the warm-up missed"
