@@ -73,6 +73,7 @@ def generate(
     lr=None,
     mesh=None,
     init: str = "auto",
+    shard_walls: Optional[list] = None,
 ) -> np.ndarray:
     """Generate ``R`` synthetic log-return trajectories calibrated to ``x``.
 
@@ -96,6 +97,9 @@ def generate(
         coloured + per-seed-calibrated MRW volatility envelope, see
         :func:`synthesize_batch`), ``"coloured"`` (spectrum only) or
         ``"white"``
+    :param shard_walls: if a list, one ``(wall_seconds, from_cache)`` tuple
+        is appended per shard — shard-to-shard variance observability for
+        sustained-throughput benchmarks (bench.py ``gen_full_R``)
     :return: ``(R, 1, T)`` float32 log-returns
     """
     del cuda
@@ -132,11 +136,14 @@ def generate(
     n_shards = -(-R // batch)
     t_start = time.perf_counter()
     for i in range(n_shards):
+        t_shard = time.perf_counter()
         shard_file = (
             cache_dir / f"shard{i:05d}.npy" if cache_dir is not None else None
         )
         if load_cache and shard_file is not None and shard_file.exists():
             z = np.load(shard_file)
+            if shard_walls is not None:
+                shard_walls.append((time.perf_counter() - t_shard, True))
         else:
             key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
             ckpt = (
@@ -151,6 +158,8 @@ def generate(
             )
             if shard_file is not None:
                 np.save(shard_file, z)
+            if shard_walls is not None:
+                shard_walls.append((time.perf_counter() - t_shard, False))
             if verbose:
                 done = min((i + 1) * batch, R)
                 rate = done / (time.perf_counter() - t_start)
