@@ -29,6 +29,7 @@ construction: per-element scores are chunk-independent and merges are exact).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -36,6 +37,18 @@ import jax
 import jax.numpy as jnp
 
 _DEFAULT_BLOCK = 128
+
+#: padded-HBM-bytes budget for the candidate-gather source. The gather
+#: operand ``blocks.reshape(B * n_blocks, block)`` must be physical, and a
+#: narrow (block=8) f32 row view lane-pads 8 -> 128 — a 16x expansion that
+#: reached 8.19 GB at the k=16384 backtest row (B=64, n=2.1e6) and OOM'd
+#: the chip. ``topk_min_batched`` chunks the gather + final ``top_k`` over
+#: batch rows to stay under this budget (bit-identical: rows are
+#: independent). Read once at import; tests monkeypatch the attribute (the
+#: value is baked into each jit trace, so use fresh shapes after patching).
+_GATHER_BUDGET = int(
+    os.environ.get("SHADOWING_TPU_TOPK_GATHER_BUDGET", str(1 << 30))
+)
 
 
 class TopKResult(NamedTuple):
@@ -165,18 +178,24 @@ def topk_min_batched(
     mu_cap = jnp.where(cap < n_blocks, mu_sel[:, -1], jnp.inf)
     bidx = jnp.sort(bidx, axis=-1)
 
-    # flattened row gather of the candidate blocks
-    rows = blocks.reshape(B * n_blocks, block)
-    goff = jnp.arange(B, dtype=jnp.int32)[:, None] * n_blocks
-    cand = rows[(bidx + goff).reshape(-1)].reshape(B, cap * block)
-    cand_idx = (
-        bidx[:, :, None] * block
-        + jnp.arange(block, dtype=jnp.int32)[None, None, :]
-    ).reshape(B, cap * block)
-    neg_v, local = jax.lax.top_k(-cand, k)                   # (B, k)
-    values = -neg_v
-    loff = jnp.arange(B, dtype=jnp.int32)[:, None] * (cap * block)
-    indices = cand_idx.reshape(-1)[(local + loff).reshape(-1)].reshape(B, k)
+    # candidate gather + final exact top-k, chunked over batch rows when
+    # the padded gather source would blow the budget (see _GATHER_BUDGET)
+    pad_lanes = block if block >= 128 else 128
+    src_bytes = n_blocks * pad_lanes * scores.dtype.itemsize
+    b_chunk = max(1, _GATHER_BUDGET // max(src_bytes, 1))
+    if b_chunk >= B:
+        values, indices = _cand_topk(scores, bidx, k, block, n_blocks)
+    else:
+        nc = -(-B // b_chunk)
+        bpad = nc * b_chunk - B
+        sc = jnp.pad(scores, ((0, bpad), (0, 0)), constant_values=jnp.inf)
+        bi = jnp.pad(bidx, ((0, bpad), (0, 0)))
+        values, indices = jax.lax.map(
+            lambda a: _cand_topk(a[0], a[1], k, block, n_blocks),
+            (sc.reshape(nc, b_chunk, -1), bi.reshape(nc, b_chunk, -1)),
+        )
+        values = values.reshape(nc * b_chunk, k)[:B]
+        indices = indices.reshape(nc * b_chunk, k)[:B]
     ok = (
         values[:, -1] < mu_cap
         if cap < n_blocks
@@ -184,6 +203,28 @@ def topk_min_batched(
     )
     return TopKBatchResult(values, indices.astype(jnp.int32),
                            jnp.asarray(ok) & sel_ok)
+
+
+def _cand_topk(scores, bidx, k, block, n_blocks):
+    """Gather the selected blocks' elements and run the exact final top-k.
+
+    ``scores`` is the block-padded ``(Bc, n_blocks * block)`` view. The
+    reshape below is the gather operand, so it materializes at its padded
+    layout (narrow blocks lane-pad ``block`` -> 128); callers bound ``Bc``
+    against :data:`_GATHER_BUDGET`.
+    """
+    Bc, cap = bidx.shape
+    rows = scores.reshape(Bc * n_blocks, block)
+    goff = jnp.arange(Bc, dtype=jnp.int32)[:, None] * n_blocks
+    cand = rows[(bidx + goff).reshape(-1)].reshape(Bc, cap * block)
+    cand_idx = (
+        bidx[:, :, None] * block
+        + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    ).reshape(Bc, cap * block)
+    neg_v, local = jax.lax.top_k(-cand, k)                   # (Bc, k)
+    loff = jnp.arange(Bc, dtype=jnp.int32)[:, None] * (cap * block)
+    indices = cand_idx.reshape(-1)[(local + loff).reshape(-1)].reshape(Bc, k)
+    return -neg_v, indices
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3), inline=True)

@@ -124,3 +124,31 @@ class TestTopkMinBatched:
         assert np.asarray(ok).all()
         np.testing.assert_array_equal(np.asarray(idx),
                                       np.tile(np.arange(8), (2, 1)))
+
+    def test_budget_chunked_gather_matches_sort(self, rng, monkeypatch):
+        """The narrow-fold candidate gather chunks over batch rows when its
+        padded source exceeds _GATHER_BUDGET (the k=16384 OOM fix) — the
+        chunked path must stay bit-identical to the sort oracle.
+
+        The budget is baked into each jit trace, so this test uses shapes
+        no other test touches (n=65536 at B=5 / B=6).
+        """
+        from shadowing_tpu.ops import topk as topk_mod
+
+        s = rng.normal(size=(5, 65536)).astype(np.float32)
+        # small k -> narrow fold (block=8), n_blocks=8192, src 4 MB/row.
+        # Budget 4 MB -> b_chunk=1 (5 chunks); 12 MB -> b_chunk=3 (2
+        # chunks, one inf-padded row at B=5). k varies per case so each
+        # case gets a fresh trace (the budget is baked in at trace time).
+        for budget, B, k in [(4 << 20, 5, 512), (12 << 20, 5, 384),
+                             (12 << 20, 6, 512)]:
+            monkeypatch.setattr(topk_mod, "_GATHER_BUDGET", budget)
+            sb = np.concatenate([s, s[:1]]) if B == 6 else s
+            vals, idx, ok = topk_mod.topk_min_batched(jnp.asarray(sb), k)
+            assert np.asarray(ok).all()
+            for b in range(B):
+                ref = topk_mod.topk_min_sort(jnp.asarray(sb[b]), k)
+                np.testing.assert_array_equal(np.asarray(vals[b]),
+                                              np.asarray(ref.values))
+                np.testing.assert_array_equal(np.asarray(idx[b]),
+                                              np.asarray(ref.indices))
