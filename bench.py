@@ -250,6 +250,10 @@ def bench_generation():
         f"{len(wl['t_submits'])}, harvest joins {wl['t_harvest_s']:.2f}s over"
         f" {wl['n_harvests']})"
         f" | finalize {wl['t_finalize_s']:.2f}s"
+        f" (refetch {wl.get('t_refetch_s', 0):.2f}s of "
+        f"{wl.get('refetch_rows', 0)} rows, snap join "
+        f"{wl.get('t_snap_join_s', 0):.2f}s)"
+        f" | snap fetch {wl.get('t_snap_fetch_s', 0):.2f}s"
         f" | drain {wl.get('drain', 'not entered')}")
 
     dt_nc, _, wl_nc = run(2, compact=False)

@@ -826,33 +826,40 @@ def synthesize_batch(
     last_ckpt = done
     last_save = time.monotonic()
     # overlapped output snapshot (see the overlap_fetch docstring):
-    # (fetch thread, result box, mask of rows stepped at/after the snapshot)
+    # (fetch thread, result box, mask of rows stepped after the snapshot)
     snap = None
+    # optimistic refetch of the drained rows, started at drain submit so
+    # the transfer overlaps the drain's device execution: (rows, thread,
+    # box) — finalize uses it iff no later dispatch stepped more rows
+    snap_refetch = None
     can_snap = (overlap_fetch and compact and std and sharding is None)
     tail = _tail_segment(segment)
     chunk_val = _SEG_CHUNK if sharding is None else 0
 
     _tm = {"harvest_s": 0.0, "n_harvests": 0}
 
-    def _start_snapshot(stepped_rows):
-        """Snapshot-fetch the CURRENT standardized series on a host thread
-        (rows outside the active set are final from here on); returns the
-        (thread, box, stepped-mask) triple, with ``stepped_rows`` already
-        marked as needing the end-of-run refetch."""
+    def _start_snapshot():
+        """Snapshot-fetch the CURRENT standardized series on a host thread.
+
+        The snapshot device value is immutable and already reflects every
+        dispatch submitted so far (including any still-executing pending
+        segment — ``z`` is its future result), so the returned stepped-mask
+        starts EMPTY: only rows stepped by dispatches submitted after this
+        point need the end-of-run refetch (each later submission marks its
+        rows, including rare re-entries)."""
         snap_dev = _standardize_jit(z)
-        box = {}
+        box = {"t_start": time.monotonic()}
 
         def _snap_fetch(a=snap_dev, box=box):
             try:  # surfaced at the end-of-run join (same pattern
                 box["out"] = np.asarray(a)  # as _prefetch's err box)
+                box["t_done"] = time.monotonic()
             except BaseException as e:
                 box["err"] = e
 
         th = threading.Thread(target=_snap_fetch, daemon=True)
         th.start()
-        stepped = np.zeros(batch, bool)
-        stepped[stepped_rows] = True
-        return th, box, stepped
+        return th, box, np.zeros(batch, bool)
 
     def _prefetch(losses):
         """Fetch a segment's losses on a host thread, started at submission
@@ -927,7 +934,7 @@ def synthesize_batch(
             if snap is None and can_snap:
                 # snapshot the PRE-drain series first so its host fetch
                 # overlaps the drain's (single, long) device execution
-                snap = _start_snapshot(active)
+                snap = _start_snapshot()
             t_dr = time.monotonic()
             nb = _bucket(active.size, sizes)
             idx = np.resize(active, nb)  # pad by cycling active rows
@@ -942,6 +949,30 @@ def synthesize_batch(
             )
             if snap is not None:
                 snap[2][active] = True
+                # optimistic final-rows refetch: the stepped rows' final
+                # values are a deterministic function of the already-
+                # submitted program (immutable device buffers), so gather +
+                # fetch them on a thread NOW — the transfer overlaps the
+                # drain's device execution instead of running serially in
+                # the finalize (which uses it only if no later dispatch
+                # steps more rows; a rare post-drain re-entry falls back to
+                # the synchronous refetch)
+                pre_rows = np.flatnonzero(snap[2])
+                nb_r = _bucket(pre_rows.size, sizes)
+                rows_dev = _standardize_rows(
+                    z, jnp.asarray(np.resize(pre_rows, nb_r), jnp.int32))
+                pre_box = {}
+
+                def _pre_fetch(a=rows_dev, box=pre_box):
+                    try:
+                        box["out"] = np.asarray(a)
+                    except BaseException as e:
+                        box["err"] = e
+
+                pre_th = threading.Thread(target=_pre_fetch, daemon=True)
+                pre_th.start()
+                snap_refetch = (pre_rows, pre_th, pre_box)
+            t_sub = time.monotonic() - t_dr
             losses_h, k_h = jax.device_get((losses_d, k_d))  # one sync
             n_subs = int(k_h)
             done += n_subs * tail
@@ -950,6 +981,7 @@ def synthesize_batch(
             _tm.setdefault("drain", []).append(
                 {"rows": int(active.size), "bucket": nb,
                  "subs": n_subs, "sub_steps": tail,
+                 "submit_s": round(t_sub, 4),
                  "wall_s": round(time.monotonic() - t_dr, 4)})
             if verbose:
                 print(f"  drain: {active.size} stragglers, bucket {nb}, "
@@ -1016,8 +1048,10 @@ def synthesize_batch(
                 # rows outside this submission's active set are final from
                 # here on (modulo the re-entry tracking above) — snapshot-
                 # fetch the whole standardized series on a thread; the
-                # drain's dispatches proceed underneath it
-                snap = _start_snapshot(submitted[1])
+                # drain's dispatches proceed underneath it. The snapshot
+                # value includes THIS submission's result (immutable device
+                # buffer), so its rows are not marked as stepped.
+                snap = _start_snapshot()
         _tm["submits"].append(round(time.monotonic() - t_it, 4))
         if pending is not None:
             t_h0 = time.monotonic()
@@ -1067,19 +1101,42 @@ def synthesize_batch(
     if snap is not None:
         th, box, stepped = snap
         still = np.flatnonzero(stepped)
-        # refetch ONLY the rows stepped at or after the snapshot (bucket-
-        # padded: static gather shapes only — per-run shapes pay a fresh
-        # remote compile inside every run)
-        nb = _bucket(still.size, sizes)
-        rows = np.asarray(_standardize_rows(
-            z, jnp.asarray(np.resize(still, nb), jnp.int32)))
+        # refetch ONLY the rows stepped after the snapshot (bucket-padded:
+        # static gather shapes only — per-run shapes pay a fresh remote
+        # compile inside every run). The drain-overlapped prefetch covers
+        # the common terminal shape; empty `still` (nothing dispatched
+        # after the snapshot) needs no refetch at all.
+        if still.size == 0:
+            rows = None
+        elif (snap_refetch is not None
+                and np.array_equal(snap_refetch[0], still)):
+            snap_refetch[1].join()
+            if "err" in snap_refetch[2]:
+                raise snap_refetch[2]["err"]
+            rows = snap_refetch[2]["out"]
+        else:
+            nb = _bucket(still.size, sizes)
+            rows = np.asarray(_standardize_rows(
+                z, jnp.asarray(np.resize(still, nb), jnp.int32)))
+        t_rows = time.monotonic() - t_fin
         th.join()
         if "err" in box:
             raise box["err"]
+        if work_log is not None:
+            work_log["t_refetch_s"] = round(t_rows, 4)
+            work_log["refetch_rows"] = int(still.size)
+            work_log["refetch_prefetched"] = rows is not None and (
+                snap_refetch is not None
+                and np.array_equal(snap_refetch[0], still))
+            work_log["t_snap_join_s"] = round(time.monotonic() - t_fin
+                                              - t_rows, 4)
+            work_log["t_snap_fetch_s"] = round(
+                box["t_done"] - box["t_start"], 4)
         out = box["out"]
-        if not out.flags.writeable:
-            out = out.copy()
-        out[still] = rows[: still.size]
+        if still.size:
+            if not out.flags.writeable:
+                out = out.copy()
+            out[still] = rows[: still.size]
     else:
         if std:
             # the loss/rms describe the per-seed standardized series —
