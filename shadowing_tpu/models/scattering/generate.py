@@ -115,10 +115,26 @@ def generate(
 
     # target statistics on the standardised observed series, at length T:
     # wavelet stats are time-averages, so estimating on the (shorter)
-    # observed grid and matching on the T grid is consistent scale by scale
+    # observed grid and matching on the T grid is consistent scale by scale.
+    # The estimation runs on the HOST backend when one exists: a single
+    # short series is latency-bound (~ms of FLOPs at an observed-length
+    # shape nothing else compiles — on the remote-tunnel platform every
+    # CLI task would pay a fresh ~40-60 s accelerator compile for it,
+    # measured in the round-5 full-R run), and the CPU result is
+    # bit-identical across job-array tasks regardless of their
+    # accelerator, so every task derives the same shard-cache tag.
     z_obs = (dlnx - mean) / std
     bank_obs = build_filter_bank(len(z_obs), J)
-    target = scattering_stats(jnp.asarray(z_obs, jnp.float32), bank_obs)
+    try:
+        host = jax.devices("cpu")[0]
+    except RuntimeError:
+        host = None
+    if host is not None:
+        with jax.default_device(host):
+            target = jnp.asarray(np.asarray(
+                scattering_stats(jnp.asarray(z_obs, jnp.float32), bank_obs)))
+    else:
+        target = scattering_stats(jnp.asarray(z_obs, jnp.float32), bank_obs)
 
     bank_gen = build_filter_bank(T, J)
 
@@ -132,7 +148,10 @@ def generate(
         cache_dir = Path(cache_path) / f"scatgen_{tag}"
         cache_dir.mkdir(parents=True, exist_ok=True)
 
-    out = []
+    # shards land in a preallocated output (no end-of-run concatenate —
+    # at R=32768 x T=4096 that copy plus the out-of-place rescale cost two
+    # extra 0.5 GB host passes)
+    z_all = np.empty((R, T), np.float32)
     n_shards = -(-R // batch)
     t_start = time.perf_counter()
     for i in range(n_shards):
@@ -168,6 +187,8 @@ def generate(
                     f"{np.median(rms):.4f} | {rate:.1f} paths/s",
                     flush=True,
                 )
-        out.append(z)
-    z_all = np.concatenate(out)[:R]
-    return (z_all * std + mean).astype(np.float32)[:, None, :]
+        r0 = i * batch
+        z_all[r0 : min(r0 + batch, R)] = z[: min(batch, R - r0)]
+    z_all *= std
+    z_all += mean
+    return z_all[:, None, :]
