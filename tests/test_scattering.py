@@ -338,6 +338,18 @@ class TestSynthesis:
         # heavy tails inherited (Gaussian would be ~0)
         assert kurtosis(out.ravel()) > 1.0
 
+    def test_generate_partial_last_shard(self, rng):
+        """R not a multiple of batch: the last shard is truncated into the
+        preallocated output, and the kept rows are identical to the
+        untruncated run (shard seeds are fold_in(seed, i) — row content
+        cannot depend on R)."""
+        dlnx = rng.normal(0, 0.01, size=1024)
+        kw = dict(J=4, T=256, max_iterations=40, seed=5, batch=4)
+        a = generate(dlnx, R=6, **kw)
+        b = generate(dlnx, R=8, **kw)
+        assert a.shape == (6, 1, 256) and b.shape == (8, 1, 256)
+        np.testing.assert_array_equal(a, b[:6])
+
     def test_generate_cache_roundtrip(self, rng, tmp_path):
         dlnx = rng.normal(0, 0.01, size=1024)
         a = generate(dlnx, R=4, J=4, T=256, max_iterations=60, seed=2,
