@@ -364,6 +364,10 @@ def bench_generation():
         "gen_us_step_dispatch": round(disp_s * 1e6, 1),
         "gen_dispatch_roofline": round(floor / disp_s, 2),
         "gen_overlap_fetch": bool(wl.get("overlap_fetch")),
+        # tunnel-phase canary: the 16 MB snapshot fetch measured 0.39 s in
+        # fast phases and 1.44 s in slow ones for identical code — a slow
+        # capture's depressed wall numbers explain themselves through this
+        "gen_snap_fetch_s": wl.get("t_snap_fetch_s"),
         "gen_drain": wl.get("drain"),
     }
 
