@@ -504,6 +504,12 @@ class PathShadowing:
         self._norms: Optional[jax.Array] = None   # cached window norms
         self._padded = None                       # cached pallas pad views
         self._factored = None                     # cached (E9, n4) responses
+        #: (B, k) shapes whose factored pass failed at compile/run time
+        #: (e.g. a selection-temp HBM OOM the byte gate cannot foresee —
+        #: the remote-compile wrapper does not even surface "memory" in
+        #: the exception text); those shapes reroute to the Toeplitz
+        #: kernel, which computes the identical certified result
+        self._factored_failed: set = set()
         self._R: Optional[int] = n_trajectories   # true trajectory count
         #: routing diagnostics: one line per distinct auto-routing decision
         #: (method picked, gates granted/declined with their byte math).
@@ -945,20 +951,36 @@ class PathShadowing:
                         y, self.window_norms(), n_out, kernel.shape[-1]
                     )
                 y3, n2 = self._padded
-                if self._factored_ok(kernel, n_out, B):
-                    if self._factored is None:
-                        # embedding responses E: built once per engine,
-                        # amortised over every multi-context search
-                        self._factored = pallas_factored.build_factored(
-                            y3, n2, jnp.asarray(kernel)
-                        )
-                    E9, n4 = self._factored
-                    _, flat_idx, ok = pallas_factored.two_pass_search_factored(
-                        E9, n4, y3, n2, g, x_emb, k=k, n_out=n_out,
-                        cap=tournament_cap,
-                        interpret=self._pallas_interpret(),
-                    )
-                else:
+                use_factored = ((B, k) not in self._factored_failed
+                                and self._factored_ok(kernel, n_out, B))
+                if use_factored:
+                    try:
+                        if self._factored is None:
+                            # embedding responses E: built once per engine,
+                            # amortised over every multi-context search
+                            self._factored = pallas_factored.build_factored(
+                                y3, n2, jnp.asarray(kernel)
+                            )
+                        E9, n4 = self._factored
+                        _, flat_idx, ok = (
+                            pallas_factored.two_pass_search_factored(
+                                E9, n4, y3, n2, g, x_emb, k=k, n_out=n_out,
+                                cap=tournament_cap,
+                                interpret=self._pallas_interpret(),
+                            ))
+                    except jax.errors.JaxRuntimeError as e:
+                        # certified-or-fallback applies to the runtime too:
+                        # a factored compile/run failure (typically a
+                        # selection-temp HBM OOM at large k that the E9
+                        # byte gate cannot foresee) reroutes this (B, k)
+                        # to the Toeplitz kernel — identical results
+                        self._factored_failed.add((B, k))
+                        self._log_route(
+                            f"factored FAILED at B={B}, k={k} — rerouting "
+                            f"this shape to the Toeplitz kernel "
+                            f"({str(e).splitlines()[0][:160]})")
+                        use_factored = False
+                if not use_factored:
                     _, flat_idx, ok = pallas_search.two_pass_search_padded(
                         y3, n2, g, k=k, n_out=n_out, cap=tournament_cap,
                         interpret=self._pallas_interpret(),
@@ -1047,18 +1069,29 @@ class PathShadowing:
                 y3, n2 = self._padded
                 r_loc = y.shape[0] // self.mesh.shape["data"]
                 B = x_context.shape[0]
-                if self._factored_ok(kernel, n_out, B):
-                    if self._factored is None:
-                        self._factored = psh.sharded_build_factored(
-                            y3, n2, kernel_dev, mesh=self.mesh
+                use_factored = ((B, k) not in self._factored_failed
+                                and self._factored_ok(kernel, n_out, B))
+                if use_factored:
+                    try:
+                        if self._factored is None:
+                            self._factored = psh.sharded_build_factored(
+                                y3, n2, kernel_dev, mesh=self.mesh
+                            )
+                        E9, n4 = self._factored
+                        _, flat_idx, ok = psh.sharded_factored_search(
+                            E9, n4, y3, n2, g, x_emb, k=k, n_out=n_out,
+                            r_loc=r_loc, mesh=self.mesh, cap=tournament_cap,
+                            interpret=self._pallas_interpret(),
                         )
-                    E9, n4 = self._factored
-                    _, flat_idx, ok = psh.sharded_factored_search(
-                        E9, n4, y3, n2, g, x_emb, k=k, n_out=n_out,
-                        r_loc=r_loc, mesh=self.mesh, cap=tournament_cap,
-                        interpret=self._pallas_interpret(),
-                    )
-                else:
+                    except jax.errors.JaxRuntimeError as e:
+                        # same reroute as the single-device path (see there)
+                        self._factored_failed.add((B, k))
+                        self._log_route(
+                            f"factored FAILED at B={B}, k={k} — rerouting "
+                            f"this shape to the Toeplitz kernel "
+                            f"({str(e).splitlines()[0][:160]})")
+                        use_factored = False
+                if not use_factored:
                     _, flat_idx, ok = psh.sharded_pallas_search_padded(
                         y3, n2, g, k=k, n_out=n_out, r_loc=r_loc,
                         mesh=self.mesh, cap=tournament_cap,

@@ -234,3 +234,43 @@ def test_scratch_budget(rng, monkeypatch):
     b = obj._scratch_budget()
     from shadowing_tpu.shadow.engine import _memory_budget
     assert b is not None and (256 << 20) <= b <= _memory_budget()
+
+
+def test_engine_factored_runtime_failure_reroutes(rng, monkeypatch):
+    """A JaxRuntimeError from the factored pass (e.g. a selection-temp HBM
+    OOM at large k — on the remote platform the wrapped compile error does
+    not even say "memory") must reroute to the Toeplitz kernel with the
+    IDENTICAL certified result, log the reroute, and memoize the (B, k)
+    shape so later calls skip the doomed attempt entirely."""
+    import jax
+
+    import shadowing_tpu.shadow.engine as eng
+
+    monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+    dataset = rng.normal(0, 0.02, size=(48, 1, 300)).astype(np.float32)
+    ctx = np.repeat(dataset[[2], :, 30:54], 9, axis=0)
+    obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                        PredictionContext(horizon=16))
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: remote_compile: HTTP 500: tpu_compile_helper "
+            "subprocess exit code 1")
+
+    monkeypatch.setattr(eng.pallas_factored, "two_pass_search_factored",
+                        boom)
+    d_f, p_f, i_f = obj.shadow(ctx, k=8, method="pallas")
+    assert calls["n"] == 1
+    assert (9, 8) in obj._factored_failed
+    assert any("factored FAILED at B=9, k=8" in s for s in obj.routing_log), \
+        obj.routing_log
+    # second identical call: the failed shape is memoized, no new attempt
+    obj.shadow(ctx, k=8, method="pallas")
+    assert calls["n"] == 1
+    # results match the literal oracle
+    d_d, p_d, i_d = obj.shadow(ctx, k=8, method="direct")
+    np.testing.assert_array_equal(i_f, i_d)
+    np.testing.assert_array_equal(p_f, p_d)
