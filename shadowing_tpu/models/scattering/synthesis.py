@@ -838,6 +838,27 @@ def synthesize_batch(
 
     _tm = {"harvest_s": 0.0, "n_harvests": 0}
 
+    def _fetch_on_thread(dev_val, key, transform=None):
+        """Fetch a device value on a daemon thread into a result box.
+
+        The blocking device fetch releases the GIL and the tunnel serves
+        concurrent fetches, so threads collapse serial per-fetch RTTs to
+        the last one's. Errors are captured into ``box["err"]`` and
+        re-raised by the caller at its join point."""
+        box = {"t_start": time.monotonic()}
+
+        def fetch():
+            try:
+                out = np.asarray(dev_val)
+                box[key] = transform(out) if transform is not None else out
+                box["t_done"] = time.monotonic()
+            except BaseException as e:
+                box["err"] = e
+
+        th = threading.Thread(target=fetch, daemon=True)
+        th.start()
+        return th, box
+
     def _start_snapshot():
         """Snapshot-fetch the CURRENT standardized series on a host thread.
 
@@ -847,18 +868,7 @@ def synthesize_batch(
         starts EMPTY: only rows stepped by dispatches submitted after this
         point need the end-of-run refetch (each later submission marks its
         rows, including rare re-entries)."""
-        snap_dev = _standardize_jit(z)
-        box = {"t_start": time.monotonic()}
-
-        def _snap_fetch(a=snap_dev, box=box):
-            try:  # surfaced at the end-of-run join (same pattern
-                box["out"] = np.asarray(a)  # as _prefetch's err box)
-                box["t_done"] = time.monotonic()
-            except BaseException as e:
-                box["err"] = e
-
-        th = threading.Thread(target=_snap_fetch, daemon=True)
-        th.start()
+        th, box = _fetch_on_thread(_standardize_jit(z), "out")
         return th, box, np.zeros(batch, bool)
 
     def _prefetch(losses):
@@ -866,23 +876,8 @@ def synthesize_batch(
         time. The harvest's ``np.asarray`` would otherwise pay its ~27 ms
         tunnel round trip serially per segment even when the data is long
         ready (the device stays fed — the pipelined queue — but the HOST
-        chain of blocking fetches owns the wall clock). The tunnel serves
-        concurrent fetches (measured: the drain-overlapped snapshot fetch
-        rides alongside dispatches at full speed), so per-segment threads
-        collapse the serial RTT sum to the last segment's. The blocking
-        device fetch releases the GIL (same mechanism as the output
-        snapshot thread)."""
-        box = {}
-
-        def fetch():
-            try:
-                box["rms"] = np.sqrt(np.asarray(losses))
-            except BaseException as e:  # surfaced at the harvest join
-                box["err"] = e
-
-        th = threading.Thread(target=fetch, daemon=True)
-        th.start()
-        return th, box
+        chain of blocking fetches owns the wall clock)."""
+        return _fetch_on_thread(losses, "rms", np.sqrt)
 
     def _harvest(p):
         losses_p, act_p, nb_p, n_p, end_p, th_p, box_p = p
@@ -905,8 +900,14 @@ def synthesize_batch(
                 f"| {int((rms_full < tol).sum())}/{batch} converged",
                 flush=True,
             )
-        if compact:
-            return act_p[rms_full[act_p] >= tol]
+        # ALL currently-unconverged rows, not just the harvested segment's
+        # (act_p filtered): a row re-entered by an earlier harvest but
+        # absent from this pending's active set must stay in play — the
+        # drain-entry harvest replaces `active` wholesale, and filtering to
+        # act_p there abandoned such a row unconverged with budget left
+        # (found by review, reproduced at tol=2e-4). rms_full rows outside
+        # act_p hold their last harvested value, which is exactly the
+        # conservative answer.
         return np.flatnonzero(rms_full >= tol)
 
     # NOTE on a rejected optimisation: prefetching retired rows to the host
@@ -918,78 +919,77 @@ def synthesize_batch(
     #                       tunnel stall and a device-bound wait)
     while (done < max_iterations and active.size) or pending is not None:
         if (compact and fused_drain and done < max_iterations
-                and active.size and active.size * 8 <= batch
-                and max_iterations - done >= tail):
+                and active.size and active.size * 8 <= batch):
             # ---- fused one-dispatch straggler drain (terminal phase) ----
             # the active set is small enough that a segment's wall is ~all
             # fixed dispatch cost; flush the pipeline and finish the whole
             # tail in one _optimize_drain dispatch (in-program freeze at
-            # every `tail`-step boundary, early exit when everyone froze)
+            # every `tail`-step boundary, early exit when everyone froze).
+            # The pipeline is flushed BEFORE the budget check below, so a
+            # small active set never reaches the host path with a pending
+            # large segment — small-bucket BRIDGE shapes stay truly
+            # unreachable (warmup_executables enumerates on exactly that).
             if pending is not None:
                 active = _harvest(pending)
                 pending = None
                 if not (active.size and done < max_iterations
                         and active.size * 8 <= batch):
                     continue  # harvest re-entered rows / emptied the set
-            if snap is None and can_snap:
-                # snapshot the PRE-drain series first so its host fetch
-                # overlaps the drain's (single, long) device execution
-                snap = _start_snapshot()
-            t_dr = time.monotonic()
-            nb = _bucket(active.size, sizes)
-            idx = np.resize(active, nb)  # pad by cycling active rows
-            z, m, v, losses_d, k_d = _optimize_drain(
-                z, m, v, jnp.asarray(idx, jnp.int32),
-                jnp.asarray(done, jnp.float32),
-                jnp.asarray((max_iterations - done) // tail, jnp.int32),
-                jnp.asarray(tol, jnp.float32), target, psi,
-                J=bank.J, sub_steps=tail, lr=lr,
-                bands=bank.band_hi or None, standardize=std,
-                chunk=chunk_val,
-            )
-            if snap is not None:
-                snap[2][active] = True
-                # optimistic final-rows refetch: the stepped rows' final
-                # values are a deterministic function of the already-
-                # submitted program (immutable device buffers), so gather +
-                # fetch them on a thread NOW — the transfer overlaps the
-                # drain's device execution instead of running serially in
-                # the finalize (which uses it only if no later dispatch
-                # steps more rows; a rare post-drain re-entry falls back to
-                # the synchronous refetch)
-                pre_rows = np.flatnonzero(snap[2])
-                nb_r = _bucket(pre_rows.size, sizes)
-                rows_dev = _standardize_rows(
-                    z, jnp.asarray(np.resize(pre_rows, nb_r), jnp.int32))
-                pre_box = {}
-
-                def _pre_fetch(a=rows_dev, box=pre_box):
-                    try:
-                        box["out"] = np.asarray(a)
-                    except BaseException as e:
-                        box["err"] = e
-
-                pre_th = threading.Thread(target=_pre_fetch, daemon=True)
-                pre_th.start()
-                snap_refetch = (pre_rows, pre_th, pre_box)
-            t_sub = time.monotonic() - t_dr
-            losses_h, k_h = jax.device_get((losses_d, k_d))  # one sync
-            n_subs = int(k_h)
-            done += n_subs * tail
-            seed_steps += nb * tail * n_subs
-            rms_full[active] = np.sqrt(losses_h[: active.size])
-            _tm.setdefault("drain", []).append(
-                {"rows": int(active.size), "bucket": nb,
-                 "subs": n_subs, "sub_steps": tail,
-                 "submit_s": round(t_sub, 4),
-                 "wall_s": round(time.monotonic() - t_dr, 4)})
-            if verbose:
-                print(f"  drain: {active.size} stragglers, bucket {nb}, "
-                      f"{n_subs} x {tail}-step subs in one dispatch | "
-                      f"{int((rms_full < tol).sum())}/{batch} converged",
-                      flush=True)
-            active = active[rms_full[active] >= tol]
-            continue
+            if max_iterations - done >= tail:
+                if snap is None and can_snap:
+                    # snapshot the PRE-drain series first so its host fetch
+                    # overlaps the drain's (single, long) device execution
+                    snap = _start_snapshot()
+                t_dr = time.monotonic()
+                nb = _bucket(active.size, sizes)
+                idx = np.resize(active, nb)  # pad by cycling active rows
+                z, m, v, losses_d, k_d = _optimize_drain(
+                    z, m, v, jnp.asarray(idx, jnp.int32),
+                    jnp.asarray(done, jnp.float32),
+                    jnp.asarray((max_iterations - done) // tail, jnp.int32),
+                    jnp.asarray(tol, jnp.float32), target, psi,
+                    J=bank.J, sub_steps=tail, lr=lr,
+                    bands=bank.band_hi or None, standardize=std,
+                    chunk=chunk_val,
+                )
+                if snap is not None:
+                    snap[2][active] = True
+                    # optimistic final-rows refetch: the stepped rows' final
+                    # values are a deterministic function of the already-
+                    # submitted program (immutable device buffers), so gather +
+                    # fetch them on a thread NOW — the transfer overlaps the
+                    # drain's device execution instead of running serially in
+                    # the finalize (which uses it only if no later dispatch
+                    # steps more rows; a rare post-drain re-entry falls back to
+                    # the synchronous refetch)
+                    pre_rows = np.flatnonzero(snap[2])
+                    nb_r = _bucket(pre_rows.size, sizes)
+                    rows_dev = _standardize_rows(
+                        z, jnp.asarray(np.resize(pre_rows, nb_r), jnp.int32))
+                    snap_refetch = (pre_rows,
+                                    *_fetch_on_thread(rows_dev, "out"))
+                t_sub = time.monotonic() - t_dr
+                losses_h, k_h = jax.device_get((losses_d, k_d))  # one sync
+                n_subs = int(k_h)
+                done += n_subs * tail
+                seed_steps += nb * tail * n_subs
+                rms_full[active] = np.sqrt(losses_h[: active.size])
+                _tm.setdefault("drain", []).append(
+                    {"rows": int(active.size), "bucket": nb,
+                     "subs": n_subs, "sub_steps": tail,
+                     "submit_s": round(t_sub, 4),
+                     "wall_s": round(time.monotonic() - t_dr, 4)})
+                if verbose:
+                    print(f"  drain: {active.size} stragglers, bucket {nb}, "
+                          f"{n_subs} x {tail}-step subs in one dispatch | "
+                          f"{int((rms_full < tol).sum())}/{batch} converged",
+                          flush=True)
+                active = active[rms_full[active] >= tol]
+                continue
+            # else: remaining budget < one sub-segment — fall through to
+            # the host path, which submits the remainder shape (a
+            # documented-cold budget-cap executable, same class as before
+            # the fused drain existed)
         submitted = None
         submit_size = 0
         t_it = time.monotonic()
@@ -1033,6 +1033,12 @@ def synthesize_batch(
                              *_prefetch(losses))
             done += n
             seed_steps += submitted[2] * n
+            # any dispatch after the drain's optimistic refetch makes it
+            # stale — even when it steps exactly the same row SET (a
+            # budget-remainder segment after a budget-exhausted drain did:
+            # the row sets matched, the values did not — found by review,
+            # reproduced). Later drains recreate the prefetch.
+            snap_refetch = None
             if snap is not None:
                 # every row stepped after the snapshot must be refetched —
                 # including rare RE-ENTRIES (a retired row whose rms pops

@@ -970,11 +970,19 @@ class PathShadowing:
                             ))
                     except jax.errors.JaxRuntimeError as e:
                         # certified-or-fallback applies to the runtime too:
-                        # a factored compile/run failure (typically a
+                        # a factored compile failure (typically a
                         # selection-temp HBM OOM at large k that the E9
-                        # byte gate cannot foresee) reroutes this (B, k)
-                        # to the Toeplitz kernel — identical results
+                        # byte gate cannot foresee; on the remote backend
+                        # compilation happens AT this call, so such errors
+                        # raise here — async EXECUTION failures surface at
+                        # the later result fetch and are out of this
+                        # guard's reach) reroutes this (B, k) to the
+                        # Toeplitz kernel — identical results. E9 (up to
+                        # ~11 GB) is dropped first: memory pressure is the
+                        # usual cause, and the fallback needs the headroom
+                        # more than a later small-k call needs the cache.
                         self._factored_failed.add((B, k))
+                        self._factored = None
                         self._log_route(
                             f"factored FAILED at B={B}, k={k} — rerouting "
                             f"this shape to the Toeplitz kernel "
@@ -1086,6 +1094,7 @@ class PathShadowing:
                     except jax.errors.JaxRuntimeError as e:
                         # same reroute as the single-device path (see there)
                         self._factored_failed.add((B, k))
+                        self._factored = None
                         self._log_route(
                             f"factored FAILED at B={B}, k={k} — rerouting "
                             f"this shape to the Toeplitz kernel "

@@ -665,6 +665,38 @@ class TestWarmupExecutables:
         np.testing.assert_array_equal(rms_a, rms_b)
         assert out_a.flags.writeable
 
+    def test_budget_exhausted_drain_invariants(self, rng):
+        """Regression for two round-5 review repros: (a) a budget-remainder
+        segment after a budget-exhausted drain must invalidate the
+        drain-overlapped refetch (the stale splice returned pre-remainder
+        values for the drained rows); (b) a row re-entered by a harvest
+        must not be dropped by the drain-entry harvest (a run exited with
+        budget left and a row at rms >= tol, never re-stepped). Invariants
+        per config: overlap and non-overlap outputs are bit-identical, and
+        the run either converges every row or spends the whole budget."""
+        from shadowing_tpu.models.scattering import synthesis as syn
+
+        T, J = 256, 4
+        bank = build_filter_bank(T, J)
+        zt = rng.normal(size=(64, T)).astype(np.float32)
+        zt = (zt - zt.mean(-1, keepdims=True)) / zt.std(-1, keepdims=True)
+        target = scattering_stats(jnp.asarray(zt), bank)
+        # both configs reproduced the stale splice on the unfixed code
+        # (outputs differed by ~1e-2 at the drained rows)
+        for seed, max_iter, tol in [(0, 459, 1.5e-4), (0, 430, 2e-4)]:
+            kwargs = dict(target=target, bank=bank, batch=32,
+                          max_iterations=max_iter, tol=tol, segment=5)
+            wl = {}
+            out_a, rms_a = syn.synthesize_batch(
+                jax.random.PRNGKey(seed), work_log=wl, **kwargs)
+            out_b, rms_b = syn.synthesize_batch(
+                jax.random.PRNGKey(seed), overlap_fetch=False, **kwargs)
+            np.testing.assert_array_equal(out_a, out_b)
+            np.testing.assert_array_equal(rms_a, rms_b)
+            assert (rms_a < tol).all() or wl["steps"] == max_iter, (
+                f"run exited at step {wl['steps']}/{max_iter} with "
+                f"{int((rms_a >= tol).sum())} unconverged rows")
+
     def test_in_program_chunking_matches_plain(self, rng):
         """The lax.map row-chunked segment (the >128-row executables'
         internal form) steps each seed identically to the plain scan —
