@@ -504,6 +504,10 @@ class PathShadowing:
         self._norms: Optional[jax.Array] = None   # cached window norms
         self._padded = None                       # cached pallas pad views
         self._factored = None                     # cached (E9, n4) responses
+        #: True once the factored BUILD itself failed — its inputs are
+        #: engine-static, so retrying at another (B, k) would pay the
+        #: identical doomed multi-GB build + remote compile again
+        self._factored_disabled: bool = False
         #: (B, k) shapes whose factored pass failed at compile/run time
         #: (e.g. a selection-temp HBM OOM the byte gate cannot foresee —
         #: the remote-compile wrapper does not even surface "memory" in
@@ -535,6 +539,24 @@ class PathShadowing:
             "redo_contexts": redo_contexts,
             **extra,
         }
+
+    def _reroute_factored(self, e, B: int, k: int,
+                          build_done: bool) -> None:
+        """Memoize a factored build/search runtime failure, free the
+        cache, and log — the caller then falls back to the Toeplitz kernel
+        (identical certified results). Search failures are keyed by
+        (B, k); a BUILD failure disables the factored route engine-wide
+        (its inputs are engine-static — every shape would fail alike)."""
+        if build_done:
+            self._factored_failed.add((B, k))
+        else:
+            self._factored_disabled = True
+        self._factored = None
+        first = (str(e).split("\n", 1)[0] or repr(e))[:160]
+        self._log_route(
+            f"factored FAILED at B={B}, k={k} "
+            f"({'search' if build_done else 'build'}) — rerouting to the "
+            f"Toeplitz kernel ({first})")
 
     def _log_route(self, msg: str) -> None:
         if msg in self.routing_log:
@@ -951,9 +973,11 @@ class PathShadowing:
                         y, self.window_norms(), n_out, kernel.shape[-1]
                     )
                 y3, n2 = self._padded
-                use_factored = ((B, k) not in self._factored_failed
+                use_factored = (not self._factored_disabled
+                                and (B, k) not in self._factored_failed
                                 and self._factored_ok(kernel, n_out, B))
                 if use_factored:
+                    E9 = n4 = None
                     try:
                         if self._factored is None:
                             # embedding responses E: built once per engine,
@@ -976,17 +1000,14 @@ class PathShadowing:
                         # compilation happens AT this call, so such errors
                         # raise here — async EXECUTION failures surface at
                         # the later result fetch and are out of this
-                        # guard's reach) reroutes this (B, k) to the
-                        # Toeplitz kernel — identical results. E9 (up to
-                        # ~11 GB) is dropped first: memory pressure is the
-                        # usual cause, and the fallback needs the headroom
-                        # more than a later small-k call needs the cache.
-                        self._factored_failed.add((B, k))
-                        self._factored = None
-                        self._log_route(
-                            f"factored FAILED at B={B}, k={k} — rerouting "
-                            f"this shape to the Toeplitz kernel "
-                            f"({str(e).splitlines()[0][:160]})")
+                        # guard's reach) reroutes to the Toeplitz kernel —
+                        # identical results. E9 (~11 GB) is freed FIRST,
+                        # locals included, so the fallback (and the
+                        # extraction scratch sized by _scratch_budget)
+                        # actually gets the headroom.
+                        build_done = E9 is not None
+                        del E9, n4
+                        self._reroute_factored(e, B, k, build_done)
                         use_factored = False
                 if not use_factored:
                     _, flat_idx, ok = pallas_search.two_pass_search_padded(
@@ -1077,9 +1098,11 @@ class PathShadowing:
                 y3, n2 = self._padded
                 r_loc = y.shape[0] // self.mesh.shape["data"]
                 B = x_context.shape[0]
-                use_factored = ((B, k) not in self._factored_failed
+                use_factored = (not self._factored_disabled
+                                and (B, k) not in self._factored_failed
                                 and self._factored_ok(kernel, n_out, B))
                 if use_factored:
+                    E9 = n4 = None
                     try:
                         if self._factored is None:
                             self._factored = psh.sharded_build_factored(
@@ -1093,12 +1116,9 @@ class PathShadowing:
                         )
                     except jax.errors.JaxRuntimeError as e:
                         # same reroute as the single-device path (see there)
-                        self._factored_failed.add((B, k))
-                        self._factored = None
-                        self._log_route(
-                            f"factored FAILED at B={B}, k={k} — rerouting "
-                            f"this shape to the Toeplitz kernel "
-                            f"({str(e).splitlines()[0][:160]})")
+                        build_done = E9 is not None
+                        del E9, n4
+                        self._reroute_factored(e, B, k, build_done)
                         use_factored = False
                 if not use_factored:
                     _, flat_idx, ok = psh.sharded_pallas_search_padded(

@@ -274,3 +274,36 @@ def test_engine_factored_runtime_failure_reroutes(rng, monkeypatch):
     d_d, p_d, i_d = obj.shadow(ctx, k=8, method="direct")
     np.testing.assert_array_equal(i_f, i_d)
     np.testing.assert_array_equal(p_f, p_d)
+
+
+def test_engine_factored_build_failure_disables(rng, monkeypatch):
+    """A runtime failure in build_factored (engine-static inputs) must
+    disable the factored route engine-wide: a later call at a DIFFERENT
+    (B, k) must not re-attempt the identical doomed multi-GB build."""
+    import jax
+
+    import shadowing_tpu.shadow.engine as eng
+
+    monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+    dataset = rng.normal(0, 0.02, size=(48, 1, 300)).astype(np.float32)
+    ctx = np.repeat(dataset[[2], :, 30:54], 9, axis=0)
+    obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                        PredictionContext(horizon=16))
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("")  # empty message: the handler
+        # must not crash extracting its first line
+
+    monkeypatch.setattr(eng.pallas_factored, "build_factored", boom)
+    d_f, p_f, i_f = obj.shadow(ctx, k=8, method="pallas")
+    assert calls["n"] == 1 and obj._factored_disabled
+    assert any("factored FAILED at B=9, k=8 (build)" in s
+               for s in obj.routing_log), obj.routing_log
+    obj.shadow(ctx, k=12, method="pallas")   # different shape: no retry
+    assert calls["n"] == 1
+    d_d, p_d, i_d = obj.shadow(ctx, k=8, method="direct")
+    np.testing.assert_array_equal(i_f, i_d)
+    np.testing.assert_array_equal(p_f, p_d)
