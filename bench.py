@@ -304,6 +304,7 @@ def bench_generation():
         per_seed_step_cpu = dt_cpu / (steps_cpu * b_cpu)
         cpu_pps = batch / (per_seed_step_cpu * wl["seed_steps"])
         gen_vs_cpu = pps / cpu_pps
+        cpu_per_step = per_seed_step_cpu
         log(f"[gen] CPU: {per_seed_step_cpu*1e3:.2f} ms/seed-step "
             f"(min of 5, batch {b_cpu} x {steps_cpu} steps; rep spread "
             f"{min(ts_cpu):.2f}-{max(ts_cpu):.2f}s) -> "
@@ -357,6 +358,12 @@ def bench_generation():
     return {
         "gen_paths_per_s": round(pps, 2),
         "gen_vs_cpu": round(gen_vs_cpu, 1) if gen_vs_cpu else None,
+        # phase-immune twin of gen_vs_cpu: the in-dispatch seed-step rate
+        # is identical across tunnel fast/slow phases (measured), so this
+        # ratio isolates the device from the capture's tunnel weather
+        # (the honest end-to-end number stays gen_vs_cpu)
+        "gen_vs_cpu_dispatch": (
+            round(cpu_per_step / disp_s, 1) if gen_vs_cpu else None),
         "gen_rms_median": round(float(np.median(rms)), 4),
         "gen_converged_frac": round(conv, 3),
         "gen_compaction_speedup": round(dt_nc / t_warm, 2),
