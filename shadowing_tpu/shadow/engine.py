@@ -608,8 +608,21 @@ class PathShadowing:
         return self._R
 
     def _plan(self) -> tuple[np.ndarray, int]:
-        T = dim_bct(self.dataset).shape[-1]
-        return self.context.conv_plan(self.embedding.kernel, T)
+        shape = dim_bct(self.dataset).shape
+        kernel, n_out = self.context.conv_plan(self.embedding.kernel,
+                                               shape[-1])
+        if kernel.shape[1] != shape[1]:
+            # eager, named error — otherwise this surfaces as a conv
+            # feature-dimension mismatch from deep inside jit
+            raise ValueError(
+                f"embedding/context expect {kernel.shape[1]}-channel data "
+                f"(embedding kernel has {self.embedding.kernel.shape[1]} "
+                f"channels, the context manager adds "
+                f"{self.context.out_channels()}) but the dataset has "
+                f"{shape[1]} channels — build the embedding with a "
+                f"(d, C, w) kernel matching the dataset"
+            )
+        return kernel, n_out
 
     def _auto_splits(self, B: int, n_out: int, d: int,
                      method: str = "direct") -> int:

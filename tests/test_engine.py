@@ -566,3 +566,16 @@ class TestLastMetrics:
         m = obj.last_metrics
         assert m["entry"] == "predict"
         assert m["B"] == 3 and m["n_context_chunks"] == 3
+
+
+class TestChannelMismatch:
+    def test_eager_error_names_the_shapes(self, rng):
+        """A single-channel embedding against a multi-channel dataset must
+        raise an eager, named ValueError — not a conv feature-dimension
+        error from inside jit (found by fuzzing)."""
+        dataset = rng.normal(0, 0.02, size=(16, 2, 128)).astype(np.float32)
+        obj = PathShadowing(Identity(12), RelativeMSE(), dataset,
+                            PredictionContext(horizon=8))
+        ctx = rng.normal(0, 0.02, size=(1, 2, 12)).astype(np.float32)
+        with pytest.raises(ValueError, match="channel"):
+            obj.shadow(ctx, k=4)
