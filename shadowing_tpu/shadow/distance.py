@@ -163,7 +163,21 @@ class MSE(PathDistance):
 
 
 class CosineDistance(PathDistance):
-    """``1 - cos(x, y)`` (extension beyond the reference)."""
+    """``1 - cos(x, y)`` (extension beyond the reference).
+
+    Tie-order boundary: reported distances are exact (to f32; use
+    ``shadow(exact_dtype="float64")`` for tighter values), but among
+    candidates whose distances coincide within f32 RESOLUTION the
+    returned subset/order may differ across ``n_splits``/mesh/method.
+    Two regimes hit this: (a) exact ties (a 1-d embedding degenerates
+    cosine to a sign test, tying pervasively); (b) near-parallel windows
+    in low-d embeddings, whose distances cluster within ~1e-7 of 0 —
+    below the quantum of the ``1 - cos`` subtraction (~6e-8), where no
+    f32 ranking is better-defined than another. RelativeMSE/MSE don't
+    exhibit this on generic data because their distances spread orders
+    of magnitude wider than f32 rounding. Found by randomized testing
+    (tests/test_fuzz.py), which forgives index order exactly within
+    this resolution window."""
 
     supports_expansion = True
 

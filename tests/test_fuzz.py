@@ -5,8 +5,11 @@ context manager, distance, k) and asserts the cross-method contracts the
 fixed-config tests pin individually:
 
 * fused / pallas(interpret) / direct agree — distances to 2e-5, indices
-  exactly wherever the float64 ranking is not a near-tie;
-* split invariance is bit-exact;
+  exactly wherever the float64 ranking is not a near-tie (near-tie =
+  within f32 resolution — cosine concentrates near-parallel windows
+  inside it; see CosineDistance's docstring);
+* split invariance is bit-exact for the norm-expansion distances and
+  resolution-exact for cosine;
 * mesh invariance (virtual multi-device) is bit-exact, including uneven R;
 * returned paths are literal dataset slices;
 * the tournament top-k matches the sort oracle on adversarial inputs
@@ -38,6 +41,24 @@ from shadowing_tpu import (
 from shadowing_tpu.ops import topk as topk_mod
 
 N = int(os.environ.get("SHADOWING_TPU_FUZZ_TRIALS", "3"))
+
+#: float32-resolution tie window: indices are only required to agree where
+#: consecutive distances are separated by MORE than this (absolute +
+#: relative) — below it no f32 ranking is better-defined than another
+#: (cosine near-parallel windows cluster within ~1e-7; see
+#: CosineDistance's docstring)
+_TIE_ATOL, _TIE_RTOL = 1e-6, 1e-5
+
+
+def _tie_taint(d):
+    """Mask of ranks adjacent to a sub-resolution gap in ``d`` (B, k)."""
+    d = np.asarray(d)
+    gap = np.abs(np.diff(d, axis=1))
+    tight = gap <= _TIE_ATOL + _TIE_RTOL * np.abs(d[:, 1:])
+    taint = np.zeros(d.shape, bool)
+    taint[:, :-1] |= tight
+    taint[:, 1:] |= tight
+    return taint
 
 
 def _draw_engine_cfg(rng):
@@ -90,27 +111,35 @@ def test_engine_cross_method_contracts(trial, monkeypatch):
     d_64, _, _ = obj.shadow(x_ctx, k=k, method="direct",
                             exact_dtype="float64")
     methods = ("fused", "pallas") if dist.pallas_score_form else ("fused",)
+    atol = 1e-10 if isinstance(dist, (RelativeMSE, MSE)) else _TIE_ATOL
     for method in methods:
         d_m, _, i_m = obj.shadow(x_ctx, k=k, method=method)
-        np.testing.assert_allclose(d_m, d_d, rtol=2e-5, atol=1e-10,
+        np.testing.assert_allclose(d_m, d_d, rtol=2e-5, atol=atol,
                                    err_msg=f"{method} {cfg}")
         # exact index agreement wherever the f64 ranking is not near-tied
-        dd = np.asarray(d_64)
-        rel = np.abs(np.diff(dd, axis=1)) / (np.abs(dd[:, 1:]) + 1e-30)
-        tight = rel < 1e-5
-        taint = np.zeros(i_m.shape[:2], bool)
-        taint[:, :-1] |= tight
-        taint[:, 1:] |= tight
+        taint = _tie_taint(d_64)
         flat_m = i_m[..., 0].astype(np.int64) * 10**6 + i_m[..., 1]
         flat_d = i_d[..., 0].astype(np.int64) * 10**6 + i_d[..., 1]
         mism = (flat_m != flat_d) & ~taint
         assert not mism.any(), f"{method} index mismatch {cfg}"
-    # split invariance is bit-exact
+    # split invariance: bit-exact for the norm-expansion distances (the
+    # hard contract); for cosine, exact up to the f32 resolution window
+    # (sub-resolution boundary candidates can swap — see its docstring)
     ns = int(rng.integers(2, 8))
     d_s, _, i_s = obj.shadow(x_ctx, k=k, n_splits=ns, method="fused")
     d_1, _, i_1 = obj.shadow(x_ctx, k=k, n_splits=1, method="fused")
-    np.testing.assert_array_equal(i_s, i_1, err_msg=f"splits {ns} {cfg}")
-    np.testing.assert_array_equal(d_s, d_1)
+    if isinstance(dist, (RelativeMSE, MSE)):
+        np.testing.assert_array_equal(d_s, d_1,
+                                      err_msg=f"splits {ns} {cfg}")
+        np.testing.assert_array_equal(i_s, i_1,
+                                      err_msg=f"splits {ns} {cfg}")
+    else:
+        np.testing.assert_allclose(d_s, d_1, atol=_TIE_ATOL,
+                                   rtol=_TIE_RTOL,
+                                   err_msg=f"splits {ns} {cfg}")
+        tie = _tie_taint(d_1)
+        mism = (i_s != i_1).any(axis=-1) & ~tie
+        assert not mism.any(), f"splits {ns} off-tie mismatch {cfg}"
     # paths are dataset slices
     for j in (0, k - 1):
         r_, t_ = int(i_d[0, j, 0]), int(i_d[0, j, 1])
