@@ -61,6 +61,35 @@ def _tie_taint(d):
     return taint
 
 
+def _assert_indices_match(d_a, i_a, d_b, i_b, msg):
+    """Indices must agree except (a) at ranks adjacent to a
+    sub-resolution gap (reorders among effective ties) and (b) boundary
+    swaps: a candidate present in only one run whose distance sits within
+    the resolution window of the k-th (cut) distance — the tie with the
+    first EXCLUDED candidate is invisible inside the returned k."""
+    d_a, d_b = np.asarray(d_a), np.asarray(d_b)
+    i_a, i_b = np.asarray(i_a), np.asarray(i_b)
+    taint = _tie_taint(d_a) | _tie_taint(d_b)
+    B, k = d_a.shape
+    for b in range(B):
+        sa = [tuple(x) for x in i_a[b]]
+        sb = [tuple(x) for x in i_b[b]]
+        sym = set(sa) ^ set(sb)
+        bound = d_a[b, -1]
+        win = _TIE_ATOL + _TIE_RTOL * abs(bound)
+        for j in range(k):
+            if sa[j] == sb[j] or taint[b, j]:
+                continue
+            boundary = (
+                (sa[j] in sym or sb[j] in sym)
+                and abs(d_a[b, j] - bound) <= win
+                and abs(d_b[b, j] - bound) <= win
+            )
+            assert boundary, (f"{msg}: ctx {b} rank {j} "
+                              f"{sa[j]} vs {sb[j]} at "
+                              f"d={d_a[b, j]}/{d_b[b, j]}")
+
+
 def _draw_engine_cfg(rng):
     R = int(rng.integers(8, 70))
     C = int(rng.choice([1, 1, 1, 2, 3]))
@@ -116,12 +145,8 @@ def test_engine_cross_method_contracts(trial, monkeypatch):
         d_m, _, i_m = obj.shadow(x_ctx, k=k, method=method)
         np.testing.assert_allclose(d_m, d_d, rtol=2e-5, atol=atol,
                                    err_msg=f"{method} {cfg}")
-        # exact index agreement wherever the f64 ranking is not near-tied
-        taint = _tie_taint(d_64)
-        flat_m = i_m[..., 0].astype(np.int64) * 10**6 + i_m[..., 1]
-        flat_d = i_d[..., 0].astype(np.int64) * 10**6 + i_d[..., 1]
-        mism = (flat_m != flat_d) & ~taint
-        assert not mism.any(), f"{method} index mismatch {cfg}"
+        # index agreement up to resolution ties and boundary swaps
+        _assert_indices_match(d_64, i_d, d_m, i_m, f"{method} {cfg}")
     # split invariance: bit-exact for the norm-expansion distances (the
     # hard contract); for cosine, exact up to the f32 resolution window
     # (sub-resolution boundary candidates can swap — see its docstring)
@@ -137,9 +162,7 @@ def test_engine_cross_method_contracts(trial, monkeypatch):
         np.testing.assert_allclose(d_s, d_1, atol=_TIE_ATOL,
                                    rtol=_TIE_RTOL,
                                    err_msg=f"splits {ns} {cfg}")
-        tie = _tie_taint(d_1)
-        mism = (i_s != i_1).any(axis=-1) & ~tie
-        assert not mism.any(), f"splits {ns} off-tie mismatch {cfg}"
+        _assert_indices_match(d_1, i_1, d_s, i_s, f"splits {ns} {cfg}")
     # paths are dataset slices
     for j in (0, k - 1):
         r_, t_ = int(i_d[0, j, 0]), int(i_d[0, j, 1])
