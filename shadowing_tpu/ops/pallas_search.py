@@ -349,7 +349,11 @@ def _pass2_from_bmin(
     mu_cap = jnp.where(cap < Rp * nblk, mu_sel[:, -1], jnp.inf)   # (B,)
     if block_id_order == "jr":
         bidx = (bidx % Rp) * nblk + bidx // Rp           # -> r * nblk + j
-    bidx = jnp.sort(bidx, axis=-1)  # flat order: ties match the sort oracle
+    # sort blocks to flat order (ties match the sort oracle), carrying the
+    # pass-1 minima along — they calibrate the certification guard below
+    perm = jnp.argsort(bidx, axis=-1)
+    bidx = jnp.take_along_axis(bidx, perm, axis=-1)
+    mu_sorted = jnp.take_along_axis(mu_sel, perm, axis=-1)
     r = bidx // nblk                                     # (B, cap)
     j = bidx % nblk
     # candidate segments: flat SINGLE-axis row gathers on an L-column view.
@@ -390,8 +394,24 @@ def _pass2_from_bmin(
     )
     loff = jnp.arange(B, dtype=jnp.int32)[:, None] * (cap * L)
     idx = flat_idx.reshape(-1)[(loc + loff).reshape(-1)].reshape(B, k)
-    # certification with a guard band for pass-1/pass-2 rounding skew
-    guard = 1e-5 * jnp.abs(mu_cap) + 1e-12
+    # certification with a guard band for pass-1/pass-2 rounding skew.
+    # The guard is SELF-CALIBRATED: pass-2 already holds the exact scores
+    # of every selected block, so the observed |pass-1 minimum - exact
+    # minimum| over the cap selected blocks samples the same bf16x3 error
+    # distribution the unselected blocks carry; 2x its per-context max,
+    # plus the static floor, bounds it robustly. A FIXED 1e-5 floor alone
+    # proved unsound: at a C=2, w=24 config with tightly clustered
+    # distances the accumulated kernel error exceeded it and a boundary
+    # block was missed WITH certification passing (found by randomized
+    # testing — tests/test_pallas_search.py regression). Padded blocks
+    # (inf pass-1 minima / 1e30-clamped rows) are excluded from the
+    # calibration.
+    exact_bmin = s.min(axis=2)                           # (B, cap)
+    err_obs = jnp.where(
+        jnp.isfinite(mu_sorted) & (exact_bmin < 1e29),
+        jnp.abs(mu_sorted - exact_bmin), 0.0,
+    ).max(axis=1)                                        # (B,)
+    guard = 2.0 * err_obs + 1e-5 * jnp.abs(mu_cap) + 1e-12
     ok = jnp.where(jnp.isinf(mu_cap), True, vals[:, -1] + guard < mu_cap)
     ok = ok & sel_ok & fin_ok
     # padded-block flat ids -> true (traj * n_out + t) ids

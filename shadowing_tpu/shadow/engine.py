@@ -20,6 +20,13 @@ redesigned around the hardware rather than translated:
 * **Exact reported distances.** Winners are re-embedded and re-scored
   directly (`PathDistance.forward`) at highest precision, so returned
   distances match the direct definition with no expansion round-off.
+  Selection resolution boundary: the expansion score resolves
+  squared-distance differences down to ~f32 eps of the ``‖h(x)‖²`` scale
+  (cancellation against the constant term), so when candidates at the k
+  boundary are separated by less than that, fused/pallas may admit a
+  different member of the effective tie set than the direct oracle —
+  with its exact distance reported (observed only on near-duplicate
+  windows; found by tests/test_fuzz.py, which bounds the window).
 * **Streaming, statically-shaped.** The dataset axis is processed in
   equal-size chunks under ``lax.scan`` with an exact running-k merge — the
   reference's ``n_splits`` memory knob (``path_shadowing.py:147-173``), but

@@ -44,24 +44,37 @@ N = int(os.environ.get("SHADOWING_TPU_FUZZ_TRIALS", "3"))
 
 #: float32-resolution tie window: indices are only required to agree where
 #: consecutive distances are separated by MORE than this (absolute +
-#: relative) — below it no f32 ranking is better-defined than another
-#: (cosine near-parallel windows cluster within ~1e-7; see
-#: CosineDistance's docstring)
+#: relative) — below it no f32 ranking is better-defined than another.
+#: Two sources (both found by these tests): cosine's 1-cos subtraction
+#: quantizes at ~6e-8, and the quadratic-expansion selection score
+#: (score = ||e-x||^2 - ||x||^2) resolves SQUARED-distance differences
+#: only down to ~f32 eps of the ||x||^2 scale (cancellation against the
+#: constant), so normalized distances are compared in the d^2 frame with
+#: a ~256-eps window. Reported distances are exact either way (the
+#: winner rescore is expansion-free); only boundary membership within
+#: the window is free.
 _TIE_ATOL, _TIE_RTOL = 1e-6, 1e-5
+_SQ_WINDOW = 256 * 1.19e-7
 
 
-def _tie_taint(d):
-    """Mask of ranks adjacent to a sub-resolution gap in ``d`` (B, k)."""
+def _tie_taint(d, squared=False):
+    """Mask of ranks adjacent to a sub-resolution gap in ``d`` (B, k).
+
+    ``squared=True`` (normalized distances: RelativeMSE, cosine) also
+    forgives gaps below the expansion's squared-frame resolution."""
     d = np.asarray(d)
     gap = np.abs(np.diff(d, axis=1))
     tight = gap <= _TIE_ATOL + _TIE_RTOL * np.abs(d[:, 1:])
+    if squared:
+        gap2 = np.abs(np.diff(d.astype(np.float64) ** 2, axis=1))
+        tight |= gap2 <= _SQ_WINDOW
     taint = np.zeros(d.shape, bool)
     taint[:, :-1] |= tight
     taint[:, 1:] |= tight
     return taint
 
 
-def _assert_indices_match(d_a, i_a, d_b, i_b, msg):
+def _assert_indices_match(d_a, i_a, d_b, i_b, msg, squared=False):
     """Indices must agree except (a) at ranks adjacent to a
     sub-resolution gap (reorders among effective ties) and (b) boundary
     swaps: a candidate present in only one run whose distance sits within
@@ -69,7 +82,7 @@ def _assert_indices_match(d_a, i_a, d_b, i_b, msg):
     first EXCLUDED candidate is invisible inside the returned k."""
     d_a, d_b = np.asarray(d_a), np.asarray(d_b)
     i_a, i_b = np.asarray(i_a), np.asarray(i_b)
-    taint = _tie_taint(d_a) | _tie_taint(d_b)
+    taint = _tie_taint(d_a, squared) | _tie_taint(d_b, squared)
     B, k = d_a.shape
     for b in range(B):
         sa = [tuple(x) for x in i_a[b]]
@@ -77,13 +90,20 @@ def _assert_indices_match(d_a, i_a, d_b, i_b, msg):
         sym = set(sa) ^ set(sb)
         bound = d_a[b, -1]
         win = _TIE_ATOL + _TIE_RTOL * abs(bound)
+
+        def near_bound(v, bound=bound, win=win):
+            if abs(v - bound) <= win:
+                return True
+            return squared and abs(
+                np.float64(v) ** 2 - np.float64(bound) ** 2) <= _SQ_WINDOW
+
         for j in range(k):
             if sa[j] == sb[j] or taint[b, j]:
                 continue
             boundary = (
                 (sa[j] in sym or sb[j] in sym)
-                and abs(d_a[b, j] - bound) <= win
-                and abs(d_b[b, j] - bound) <= win
+                and near_bound(d_a[b, j])
+                and near_bound(d_b[b, j])
             )
             assert boundary, (f"{msg}: ctx {b} rank {j} "
                               f"{sa[j]} vs {sb[j]} at "
@@ -140,13 +160,22 @@ def test_engine_cross_method_contracts(trial, monkeypatch):
     d_64, _, _ = obj.shadow(x_ctx, k=k, method="direct",
                             exact_dtype="float64")
     methods = ("fused", "pallas") if dist.pallas_score_form else ("fused",)
-    atol = 1e-10 if isinstance(dist, (RelativeMSE, MSE)) else _TIE_ATOL
+    # normalized distances (RelativeMSE, cosine) compare in the squared
+    # frame too: boundary swaps within the expansion's resolution window
+    # change the reported tail distances by up to ~eps/d relative
+    squared = not isinstance(dist, MSE)
     for method in methods:
         d_m, _, i_m = obj.shadow(x_ctx, k=k, method=method)
-        np.testing.assert_allclose(d_m, d_d, rtol=2e-5, atol=atol,
-                                   err_msg=f"{method} {cfg}")
+        close = np.abs(d_m - d_d) <= 1e-10 + 2e-5 * np.abs(d_d)
+        if squared:
+            close |= np.abs(np.asarray(d_m, np.float64) ** 2
+                            - np.asarray(d_d, np.float64) ** 2) <= _SQ_WINDOW
+        assert close.all(), (
+            f"{method} distances off {cfg}: "
+            f"{d_m[~close][:4]} vs {d_d[~close][:4]}")
         # index agreement up to resolution ties and boundary swaps
-        _assert_indices_match(d_64, i_d, d_m, i_m, f"{method} {cfg}")
+        _assert_indices_match(d_64, i_d, d_m, i_m, f"{method} {cfg}",
+                              squared=squared)
     # split invariance: bit-exact for the norm-expansion distances (the
     # hard contract); for cosine, exact up to the f32 resolution window
     # (sub-resolution boundary candidates can swap — see its docstring)
@@ -159,10 +188,13 @@ def test_engine_cross_method_contracts(trial, monkeypatch):
         np.testing.assert_array_equal(i_s, i_1,
                                       err_msg=f"splits {ns} {cfg}")
     else:
-        np.testing.assert_allclose(d_s, d_1, atol=_TIE_ATOL,
-                                   rtol=_TIE_RTOL,
-                                   err_msg=f"splits {ns} {cfg}")
-        _assert_indices_match(d_1, i_1, d_s, i_s, f"splits {ns} {cfg}")
+        close = np.abs(np.asarray(d_s) - np.asarray(d_1)) <= (
+            _TIE_ATOL + _TIE_RTOL * np.abs(np.asarray(d_1)))
+        close |= np.abs(np.asarray(d_s, np.float64) ** 2
+                        - np.asarray(d_1, np.float64) ** 2) <= _SQ_WINDOW
+        assert close.all(), f"splits {ns} distances {cfg}"
+        _assert_indices_match(d_1, i_1, d_s, i_s, f"splits {ns} {cfg}",
+                              squared=True)
     # paths are dataset slices
     for j in (0, k - 1):
         r_, t_ = int(i_d[0, j, 0]), int(i_d[0, j, 1])
