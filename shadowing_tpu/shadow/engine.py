@@ -521,6 +521,12 @@ class PathShadowing:
         #: the exception text); those shapes reroute to the Toeplitz
         #: kernel, which computes the identical certified result
         self._factored_failed: set = set()
+        #: (B, k) -> certified escalated tournament cap. When a pallas
+        #: search fails certification on a thin order-statistic margin and
+        #: the wider-cap retry certifies, later searches of the same shape
+        #: route straight to the wider cap: one redo round trip per shape,
+        #: not per chunk (a 2048-date backtest is 32 same-shape chunks).
+        self._cap_memo: dict = {}
         self._R: Optional[int] = n_trajectories   # true trajectory count
         #: routing diagnostics: one line per distinct auto-routing decision
         #: (method picked, gates granted/declined with their byte math).
@@ -970,6 +976,7 @@ class PathShadowing:
         x_emb, x_norm2, g_raw = _prep_context(
             jnp.asarray(x_context), jnp.asarray(self.embedding.kernel)
         )
+        escalate = None  # set on the pallas route (tier-1 redo, see below)
 
         if self.mesh is not None:
             return self._shadow_mesh(
@@ -993,6 +1000,12 @@ class PathShadowing:
                         y, self.window_norms(), n_out, kernel.shape[-1]
                     )
                 y3, n2 = self._padded
+                cap_eff = (tournament_cap if tournament_cap is not None
+                           else self._cap_memo.get((B, k)))
+                if cap_eff is not None and tournament_cap is None:
+                    self._log_route(
+                        f"cap memo: routing (B={B}, k={k}) at the "
+                        f"previously certified cap={cap_eff}")
                 use_factored = (not self._factored_disabled
                                 and (B, k) not in self._factored_failed
                                 and self._factored_ok(kernel, n_out, B))
@@ -1009,7 +1022,7 @@ class PathShadowing:
                         _, flat_idx, ok = (
                             pallas_factored.two_pass_search_factored(
                                 E9, n4, y3, n2, g, x_emb, k=k, n_out=n_out,
-                                cap=tournament_cap,
+                                cap=cap_eff,
                                 interpret=self._pallas_interpret(),
                             ))
                     except jax.errors.JaxRuntimeError as e:
@@ -1031,7 +1044,38 @@ class PathShadowing:
                         use_factored = False
                 if not use_factored:
                     _, flat_idx, ok = pallas_search.two_pass_search_padded(
-                        y3, n2, g, k=k, n_out=n_out, cap=tournament_cap,
+                        y3, n2, g, k=k, n_out=n_out, cap=cap_eff,
+                        interpret=self._pallas_interpret(),
+                    )
+
+                # tier-1 redo for this route: a certification failure is
+                # almost always a THIN ORDER-STATISTIC MARGIN — the cap-th
+                # selected block minimum sits inside the self-calibrated
+                # pass-1 error band of the k-th winner (see the guard in
+                # ops/pallas_search._pass2_from_bmin) — not a wrong result.
+                # Re-running the SAME fast kernel with ~4x the block slack
+                # widens that margin by the same factor while the kernel
+                # error stays put, so the retry certifies for tens of ms
+                # instead of paying the direct oracle (seconds; at k~16k it
+                # also needs the ~11 GB factored cache evicted to fit).
+                esc_cap = max(k + 4 * 384, 2 * (cap_eff or 0))
+
+                def escalate():
+                    if self._factored is not None and k >= 4096:
+                        # pass-2 transients at the escalated cap are
+                        # GB-scale in the large-k regime: give the retry
+                        # the HBM the factored E cache occupies (rebuilt
+                        # lazily on the next factored-routed search)
+                        self._factored = None
+                        self._log_route(
+                            "redo: evicted factored E cache for the "
+                            "escalated retry")
+                    if tournament_cap is None:
+                        # one redo round trip per shape, not per chunk:
+                        # same-shape searches route straight to this cap
+                        self._cap_memo[(B, k)] = esc_cap
+                    return pallas_search.two_pass_search_padded(
+                        y3, n2, g, k=k, n_out=n_out, cap=esc_cap,
                         interpret=self._pallas_interpret(),
                     )
             else:
@@ -1063,21 +1107,41 @@ class PathShadowing:
         )
 
         def redo(ok_host):
-            # certification failed for some contexts (pathological score
-            # clustering): redo those with the sort-exact oracle, then
-            # re-finalize
+            # certification failed for some contexts: tier 1 retries the
+            # fast kernel with ~4x block slack (thin-margin failures, the
+            # common case); tier 2 resolves anything still uncertified with
+            # the sort-exact oracle; then re-finalize
             rows = np.nonzero(~np.asarray(ok_host))[0]
-            _, idx_exact = _direct_search(
-                y, x_emb[rows], kernel_dev, k=k, n_out=n_out,
-                # re-budget: direct materialises d-dim embeddings per
-                # row, far more than the fused chunks were sized for
-                n_splits=self._auto_splits(len(rows), n_out, d, "direct"),
-                distance=self.distance,
-                n_valid_rows=(jnp.asarray(self.R, jnp.int32)
-                              if self.R < y.shape[0] else None),
-            )
             fi = np.array(flat_idx)  # writable host copy
-            fi[rows] = np.asarray(idx_exact)
+            if escalate is not None:
+                _, idx_esc, ok_esc = escalate()
+                ok2 = np.asarray(ok_esc)
+                took = rows[ok2[rows]]
+                if took.size:
+                    fi[took] = np.asarray(idx_esc)[took]
+                rows = rows[~ok2[rows]]
+                self._log_route(
+                    f"redo: escalated cap={esc_cap} certified "
+                    f"{took.size}/{took.size + rows.size} failed contexts")
+            if rows.size:
+                if self._factored is not None:
+                    # the direct oracle's scratch budget assumes the HBM
+                    # the factored E cache occupies — evict it (rebuilt
+                    # lazily on the next factored-routed search)
+                    self._factored = None
+                    self._log_route(
+                        "redo: evicted factored E cache for the oracle")
+                _, idx_exact = _direct_search(
+                    y, x_emb[rows], kernel_dev, k=k, n_out=n_out,
+                    # re-budget: direct materialises d-dim embeddings per
+                    # row, far more than the fused chunks were sized for
+                    n_splits=self._auto_splits(len(rows), n_out, d,
+                                               "direct"),
+                    distance=self.distance,
+                    n_valid_rows=(jnp.asarray(self.R, jnp.int32)
+                                  if self.R < y.shape[0] else None),
+                )
+                fi[rows] = np.asarray(idx_exact)
             return _finalize_shadow(
                 y, jnp.asarray(fi), x_emb, kernel_raw,
                 n_out=n_out, w_extract=w_extract, distance=self.distance,

@@ -329,6 +329,46 @@ class TestCertificationFallback:
         np.testing.assert_array_equal(i, i_ref)
         np.testing.assert_allclose(d, d_ref, rtol=1e-6)
 
+    def test_pallas_redo_escalates_and_memoizes(self, small_problem,
+                                                monkeypatch):
+        """Pallas-route certification failure: tier-1 redo retries the fast
+        kernel at a wider cap (not the direct oracle) and memoizes the
+        certified cap so the next same-shape search skips the redo."""
+        from shadowing_tpu.shadow import engine as eng
+
+        monkeypatch.setenv("SHADOWING_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("SHADOWING_TPU_NO_FACTORED", "1")
+        dataset, x_context = small_problem
+        obj = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                            PredictionContext(horizon=16))
+        d_ref, p_ref, i_ref = obj.shadow(x_context, k=32, method="direct")
+
+        orig = eng.pallas_search.two_pass_search_padded
+        calls = {"n": 0}
+
+        def forced(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:  # cripple only the primary search
+                kw["cap"] = 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(eng.pallas_search, "two_pass_search_padded",
+                            forced)
+        obj2 = PathShadowing(Identity(24), RelativeMSE(), dataset,
+                             PredictionContext(horizon=16))
+        d, p, i = obj2.shadow(x_context, k=32, method="pallas")
+        np.testing.assert_array_equal(i, i_ref)
+        np.testing.assert_allclose(d, d_ref, rtol=1e-6)
+        assert calls["n"] == 2  # primary + escalated retry, no third pass
+        B = x_context.shape[0] if x_context.ndim == 3 else 1
+        assert obj2._cap_memo.get((B, 32)) is not None
+        assert any("escalated cap" in m for m in obj2.routing_log)
+        # same shape again: routes at the memoized cap, no redo
+        d2, p2, i2 = obj2.shadow(x_context, k=32, method="pallas")
+        assert calls["n"] == 3
+        np.testing.assert_array_equal(i2, i_ref)
+        assert any("cap memo" in m for m in obj2.routing_log)
+
     def test_predict_redo_path(self, small_problem, monkeypatch):
         from shadowing_tpu.shadow import engine as eng
         from shadowing_tpu.stats.realized import realized_variance
